@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Benchmark harness: prints ONE JSON line with the headline metric.
+
+Headline: voxel-updates/s per chip for TSDF depth-frame integration at
+512^3 with 640x480 frames (BASELINE.json metric), plus rays/s for the
+sphere-traced raycast as auxiliary fields.
+
+The reference publishes no numbers (SURVEY.md §6) and its README calls
+itself unoptimized and not real-time; ``vs_baseline`` is therefore
+measured against this repo's own first recorded number
+(see BASELINE.md), i.e. 1.0 until a prior round's value exists in
+BENCH_BASELINE.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _sync(out):
+    """Force real completion: block_until_ready does not reliably block
+    through remote-execution tunnels, so reduce one leaf to a host float."""
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
+def _bench(fn, *args, iters=10, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tsdf_tpu import Camera, integrate, make_volume, raycast
+    from tsdf_tpu.utils import fixtures
+
+    grid = int(os.environ.get("BENCH_GRID", "512"))
+    width, height = 640, 480
+
+    vol = make_volume(
+        (grid, grid, grid), 3000.0, offset=(-1500.0, -1500.0, 0.0)
+    )
+    camera = (
+        Camera.default_depth_camera()
+        .move_to([0.0, 0.0, -500.0])
+        .look_at([0.0, 0.0, 1500.0])
+    )
+    depth = jnp.asarray(
+        fixtures.sphere_depth_map(width, height, 150.0, 1000.0, 2500.0)
+    )
+
+    # Chained (volume fed back, donated) — the real fusion-loop shape.
+    integrate_jit = jax.jit(integrate, donate_argnums=0)
+    v = integrate_jit(vol, depth, camera)  # warmup/compile
+    _sync(v.weight)
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        v = integrate_jit(v, depth, camera)
+    _sync(v.weight)
+    dt_int = (time.perf_counter() - t0) / iters
+    voxel_updates_per_s = grid**3 / dt_int
+
+    # Raycast a fused sphere volume (sphere mode, the production path).
+    vol2 = fixtures.sphere_tsdf(
+        make_volume((grid, grid, grid), 3000.0, offset=(-1500.0, -1500.0, 0.0)),
+        600.0,
+    )
+    cam2 = (
+        Camera.default_depth_camera()
+        .move_to([0.0, 0.0, -900.0])
+        .look_at([0.0, 0.0, 1500.0])
+    )
+
+    def ray_fn(v, c):
+        verts, normals = raycast(v, c, width=width, height=height)
+        return verts
+
+    dt_ray = _bench(jax.jit(ray_fn), vol2, cam2)
+    rays_per_s = width * height / dt_ray
+
+    baseline = None
+    if os.path.exists("BENCH_BASELINE.json"):
+        try:
+            with open("BENCH_BASELINE.json") as f:
+                baseline = json.load(f).get("value")
+        except Exception:
+            baseline = None
+    vs_baseline = (
+        voxel_updates_per_s / baseline if baseline else 1.0
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "voxel-updates/s per chip (integrate, "
+                f"{grid}^3, 640x480)",
+                "value": voxel_updates_per_s,
+                "unit": "voxel-updates/s",
+                "vs_baseline": vs_baseline,
+                "aux": {
+                    "integrate_ms": dt_int * 1e3,
+                    "raycast_ms": dt_ray * 1e3,
+                    "rays_per_s": rays_per_s,
+                    "grid": grid,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

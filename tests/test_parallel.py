@@ -1,0 +1,101 @@
+"""Sharded ops == single-device ops on a virtual 8-CPU mesh.
+
+The moral equivalent of the reference's MockKinect replay rig applied to
+the device mesh (SURVEY.md §4): sharding logic is validated without TPU
+hardware, gating on numeric equality with the unsharded path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tsdf_tpu import Camera, integrate, make_volume, raycast
+from tsdf_tpu.parallel import (
+    integrate_sharded,
+    make_mesh,
+    raycast_sharded,
+    shard_volume,
+)
+from tsdf_tpu.utils import fixtures
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    return make_mesh(n_bricks=4, n_rays=2)
+
+
+def _camera():
+    cam = Camera.default_depth_camera()
+    return cam.move_to([0.0, 0.0, -500.0]).look_at([0.0, 0.0, 1000.0])
+
+
+def test_integrate_sharded_matches_single(mesh):
+    vol = make_volume((32, 32, 32), 2000.0, offset=(-1000, -1000, 0))
+    cam = _camera()
+    depth = fixtures.sphere_depth_map(64, 48, 20.0, 800.0, 1200.0)
+
+    ref = integrate(vol, depth, cam)
+    svol = shard_volume(vol, mesh)
+    out = integrate_sharded(svol, depth, cam, mesh)
+
+    np.testing.assert_allclose(
+        np.asarray(out.tsdf), np.asarray(ref.tsdf), rtol=0, atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.weight), np.asarray(ref.weight)
+    )
+
+
+def test_integrate_sharded_with_deformation(mesh):
+    vol = make_volume(
+        (32, 32, 32), 2000.0, offset=(-1000, -1000, 0),
+        with_deformation=True,
+    )
+    cam = _camera()
+    depth = fixtures.sphere_depth_map(64, 48, 20.0, 800.0, 1200.0)
+
+    ref = integrate(vol, depth, cam)
+    svol = shard_volume(vol, mesh)
+    out = integrate_sharded(svol, depth, cam, mesh)
+    np.testing.assert_allclose(
+        np.asarray(out.tsdf), np.asarray(ref.tsdf), rtol=0, atol=1e-4
+    )
+
+
+def test_raycast_sharded_matches_single(mesh):
+    vol = make_volume((32, 32, 32), 2000.0, offset=(-1000, -1000, 0))
+    vol = fixtures.sphere_tsdf(vol, 400.0)
+    cam = _camera()
+
+    verts_ref, normals_ref = raycast(vol, cam, width=64, height=48)
+    svol = shard_volume(vol, mesh)
+    verts, normals = raycast_sharded(svol, cam, mesh, width=64, height=48)
+
+    np.testing.assert_allclose(
+        np.asarray(verts), np.asarray(verts_ref), rtol=0, atol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(normals), np.asarray(normals_ref), rtol=0, atol=1e-4
+    )
+
+
+def test_pose_gradient_through_sharded_integrate(mesh):
+    """Pose gradients flow through the sharded integrate (the dryrun's
+    training-step core): grad w.r.t. a se3 twist is finite and nonzero."""
+    from tsdf_tpu.utils.se3 import se3_exp
+
+    vol = make_volume((16, 16, 16), 2000.0, offset=(-1000, -1000, 0))
+    cam = _camera()
+    depth = fixtures.sphere_depth_map(32, 24, 10.0, 800.0, 1200.0)
+    svol = shard_volume(vol, mesh)
+
+    def loss(xi):
+        c = cam.set_pose(se3_exp(xi) @ cam.pose)
+        out = integrate_sharded(svol, depth, c, mesh)
+        return jnp.sum(out.tsdf**2)
+
+    g = jax.grad(loss)(jnp.zeros(6, jnp.float32))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.any(np.asarray(g) != 0.0)

@@ -87,32 +87,30 @@ def slab_near_far(origin, dirs, space_min, space_max):
     return jnp.maximum(near, 0.0), far, intersects
 
 
-@partial(
-    jax.jit,
-    static_argnames=("width", "height", "mode", "max_steps"),
-)
-def raycast(
+def march_rays(
     vol: TSDFVolume,
-    camera: Camera,
-    width: int = 640,
-    height: int = 480,
+    origin: jnp.ndarray,
+    dirs: jnp.ndarray,
     mode: str = "sphere",
     max_steps: int = REFERENCE_MAX_STEPS,
     step_scale: float = 0.75,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Raycast the volume from ``camera``.
+) -> jnp.ndarray:
+    """March a flat batch of rays through the volume.
+
+    The reusable core of :func:`raycast` — the sharded raycast
+    (parallel/ops.py) shard_maps this over ray tiles with the volume
+    replicated, so ray-tile sharding is independent of brick sharding
+    (SURVEY.md §2.9 process_ray row).
+
+    Args:
+      vol: the volume (replicated or locally owned).
+      origin: (3,) world-space ray origin, mm.
+      dirs: (N, 3) unit world-space ray directions.
 
     Returns:
-      vertices: (H, W, 3) world-space surface points in mm; NaN on miss
-        (ref: GPURaycaster.cu:302,376 NaN sentinel).
-      normals: (H, W, 3) unit normals from screen-space differences; zero
-        on the last row/column and on misses (ref: compute_normals
-        GPURaycaster.cu:393-427).
+      (N, 3) world-space hit vertices, NaN on miss.
     """
-    origin = camera.position
-    dirs = ray_directions(camera, width, height).reshape(-1, 3)
     n = dirs.shape[0]
-
     space_min = vol.space_min
     trunc = vol.truncation_distance
     voxel_size = vol.voxel_size
@@ -138,11 +136,14 @@ def raycast(
         pts = start + t[:, None] * dirs
         return trilinear_sample(vol.tsdf, pts, voxel_size)
 
+    # Derive carries from dirs so they inherit its varying-manual-axes
+    # type when this runs inside shard_map (ray tiles sharded).
+    zeros = jnp.zeros_like(dirs[:, 0])
     state0 = dict(
-        t=jnp.zeros(n, jnp.float32),
-        hit_t=jnp.zeros(n, jnp.float32),
-        prev_tsdf=jnp.full(n, trunc, jnp.float32),
-        prev_step=jnp.full(n, fixed_step, jnp.float32),
+        t=zeros,
+        hit_t=zeros,
+        prev_tsdf=zeros + trunc,
+        prev_step=zeros + fixed_step,
         status=jnp.where(intersects, _MARCHING, _MISS).astype(jnp.int32),
         count=jnp.array(0, jnp.int32),
     )
@@ -194,9 +195,40 @@ def raycast(
     hit_mask = final["status"] == _HIT
     verts_local = start + final["hit_t"][:, None] * dirs
     verts = verts_local + space_min[None, :]
-    verts = jnp.where(hit_mask[:, None], verts, jnp.nan)
-    verts = verts.reshape(height, width, 3)
+    return jnp.where(hit_mask[:, None], verts, jnp.nan)
 
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "mode", "max_steps"),
+)
+def raycast(
+    vol: TSDFVolume,
+    camera: Camera,
+    width: int = 640,
+    height: int = 480,
+    mode: str = "sphere",
+    max_steps: int = REFERENCE_MAX_STEPS,
+    step_scale: float = 0.75,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Raycast the volume from ``camera``.
+
+    Returns:
+      vertices: (H, W, 3) world-space surface points in mm; NaN on miss
+        (ref: GPURaycaster.cu:302,376 NaN sentinel).
+      normals: (H, W, 3) unit normals from screen-space differences; zero
+        on the last row/column and on misses (ref: compute_normals
+        GPURaycaster.cu:393-427).
+    """
+    dirs = ray_directions(camera, width, height).reshape(-1, 3)
+    verts = march_rays(
+        vol,
+        camera.position,
+        dirs,
+        mode=mode,
+        max_steps=max_steps,
+        step_scale=step_scale,
+    ).reshape(height, width, 3)
     normals = compute_normals_from_vertices(verts)
     return verts, normals
 

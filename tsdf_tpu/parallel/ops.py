@@ -1,0 +1,224 @@
+"""shard_map'd fusion ops: brick-sharded integrate, ray-tiled raycast.
+
+TPU-native replacements for the reference's single-GPU kernel launches
+(SURVEY.md §2.9): the CUDA grid/block decomposition becomes the XLA device
+mesh, and the H<->D memcpy boundaries become ICI collectives.
+
+  * integrate: each device owns a z-slab ("brick") of the volume; the depth
+    frame is replicated, so the update is embarrassingly parallel — zero
+    collectives, perfect weak scaling (replaces integrate_kernel's
+    (y,z)-thread decomposition, ref: src/TSDF/TSDFVolume.cu:889-892).
+  * raycast: ray tiles are sharded over the whole mesh while each device
+    all-gathers the volume over the brick axis once per frame (rays cross
+    brick boundaries freely; one tiled all_gather over ICI replaces the
+    reference's per-pixel global-memory traversal, ref:
+    src/RayCaster/GPURaycaster.cu:479-481).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.4.35 moved shard_map out of experimental
+    from jax import shard_map  # type: ignore[attr-defined]
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..camera import Camera
+from ..volume import TSDFVolume
+from ..ops.integrate import integrate
+from ..ops.raycast import (
+    REFERENCE_MAX_STEPS,
+    march_rays,
+    ray_directions,
+    compute_normals_from_vertices,
+)
+from .mesh import volume_sharding, replicated
+
+
+def shard_volume(vol: TSDFVolume, mesh: Mesh) -> TSDFVolume:
+    """Place a volume on the mesh: dense arrays z-sharded, metadata
+    replicated. The volume's Z extent must divide the "b" axis size."""
+    vs = volume_sharding(mesh)
+    rep = replicated(mesh)
+
+    def place(arr, sharded):
+        if arr is None:
+            return None
+        return jax.device_put(arr, vs if sharded else rep)
+
+    return TSDFVolume(
+        tsdf=place(vol.tsdf, True),
+        weight=place(vol.weight, True),
+        color=place(vol.color, True),
+        deform=place(vol.deform, True),
+        deform_rot=place(vol.deform_rot, True),
+        physical_size=place(vol.physical_size, False),
+        offset=place(vol.offset, False),
+        truncation_distance=place(vol.truncation_distance, False),
+        max_weight=place(vol.max_weight, False),
+        global_rotation=place(vol.global_rotation, False),
+        global_translation=place(vol.global_translation, False),
+    )
+
+
+def _local_slab_volume(
+    tsdf, weight, deform, physical_size, offset, trunc, max_weight, nb
+):
+    """Reconstruct a TSDFVolume describing this device's z-slab.
+
+    The slab keeps the global voxel size; its world offset shifts by
+    brick_index * slab_thickness along z.
+    """
+    bi = jax.lax.axis_index("b")
+    sz_local = tsdf.shape[0]
+    slab_phys_z = physical_size[2] / nb
+    local_offset = offset + jnp.array([0.0, 0.0, 1.0], jnp.float32) * (
+        bi.astype(jnp.float32) * slab_phys_z
+    )
+    local_phys = physical_size * jnp.array(
+        [1.0, 1.0, 1.0 / nb], jnp.float32
+    )
+    return TSDFVolume(
+        tsdf=tsdf,
+        weight=weight,
+        color=None,
+        deform=deform,
+        deform_rot=None,
+        physical_size=local_phys,
+        offset=local_offset,
+        truncation_distance=trunc,
+        max_weight=max_weight,
+        global_rotation=jnp.zeros(3, jnp.float32),
+        global_translation=jnp.zeros(3, jnp.float32),
+    )
+
+
+def integrate_sharded(
+    vol: TSDFVolume,
+    depth: jnp.ndarray,
+    camera: Camera,
+    mesh: Mesh,
+    cap_weight: bool = False,
+) -> TSDFVolume:
+    """Brick-parallel depth integration. No collectives.
+
+    Requires vol.tsdf.shape[0] % mesh.shape["b"] == 0.
+    """
+    nb = mesh.shape["b"]
+    has_deform = vol.deform is not None
+
+    def local(tsdf, weight, deform, depth, k, pose, pose_inv,
+              physical_size, offset, trunc, max_weight):
+        lvol = _local_slab_volume(
+            tsdf, weight, deform, physical_size, offset, trunc, max_weight,
+            nb,
+        )
+        cam = Camera(
+            k=k, k_inv=jnp.linalg.inv(k), pose=pose, pose_inv=pose_inv
+        )
+        out = integrate(lvol, depth, cam, cap_weight=cap_weight)
+        return out.tsdf, out.weight
+
+    if has_deform:
+        deform_arg = vol.deform
+        deform_spec = P("b")
+    else:
+        # None is an empty pytree: its spec subtree must be empty too.
+        deform_arg = None
+        deform_spec = None
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("b"), P("b"), deform_spec, P(), P(), P(), P(), P(), P(),
+            P(), P(),
+        ),
+        out_specs=(P("b"), P("b")),
+    )
+    new_tsdf, new_weight = fn(
+        vol.tsdf,
+        vol.weight,
+        deform_arg,
+        jnp.asarray(depth, jnp.float32),
+        camera.k,
+        camera.pose,
+        camera.pose_inv,
+        vol.physical_size,
+        vol.offset,
+        vol.truncation_distance,
+        vol.max_weight,
+    )
+    return vol.replace(tsdf=new_tsdf, weight=new_weight)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "width", "height", "mode", "max_steps"),
+)
+def raycast_sharded(
+    vol: TSDFVolume,
+    camera: Camera,
+    mesh: Mesh,
+    width: int = 640,
+    height: int = 480,
+    mode: str = "sphere",
+    max_steps: int = REFERENCE_MAX_STEPS,
+    step_scale: float = 0.75,
+):
+    """Ray-tiled raycast: rays sharded over every device, volume
+    all-gathered over the brick axis (one tiled ICI all_gather).
+
+    Returns (vertices, normals) as in ops.raycast.
+    """
+    n_dev = mesh.shape["b"] * mesh.shape["r"]
+    dirs = ray_directions(camera, width, height).reshape(-1, 3)
+    n = dirs.shape[0]
+    pad = (-n) % n_dev
+    if pad:
+        dirs = jnp.concatenate(
+            [dirs, jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (pad, 1))], axis=0
+        )
+
+    def local(tsdf_slab, dirs_tile, physical_size, offset, trunc, origin):
+        full = jax.lax.all_gather(tsdf_slab, "b", axis=0, tiled=True)
+        lvol = TSDFVolume(
+            tsdf=full,
+            weight=full,
+            color=None,
+            deform=None,
+            deform_rot=None,
+            physical_size=physical_size,
+            offset=offset,
+            truncation_distance=trunc,
+            max_weight=trunc,
+            global_rotation=jnp.zeros(3, jnp.float32),
+            global_translation=jnp.zeros(3, jnp.float32),
+        )
+        return march_rays(
+            lvol, origin, dirs_tile,
+            mode=mode, max_steps=max_steps, step_scale=step_scale,
+        )
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("b"), P(("b", "r")), P(), P(), P(), P()),
+        out_specs=P(("b", "r")),
+    )
+    verts = fn(
+        vol.tsdf,
+        dirs,
+        vol.physical_size,
+        vol.offset,
+        vol.truncation_distance,
+        camera.position,
+    )
+    verts = verts[: height * width].reshape(height, width, 3)
+    normals = compute_normals_from_vertices(verts)
+    return verts, normals
