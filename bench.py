@@ -45,7 +45,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from tsdf_tpu import Camera, integrate, make_volume, raycast
+    from tsdf_tpu import Camera, make_volume, raycast
+    from tsdf_tpu.kernels import integrate_pallas
     from tsdf_tpu.utils import fixtures
 
     grid = int(os.environ.get("BENCH_GRID", "512"))
@@ -63,14 +64,14 @@ def main():
         fixtures.sphere_depth_map(width, height, 150.0, 1000.0, 2500.0)
     )
 
-    # Chained (volume fed back, donated) — the real fusion-loop shape.
-    integrate_jit = jax.jit(integrate, donate_argnums=0)
-    v = integrate_jit(vol, depth, camera)  # warmup/compile
+    # Chained (volume fed back) — the real fusion-loop shape. The Pallas
+    # kernel is the production path (see tsdf_tpu/kernels/integrate.py).
+    v, miss = integrate_pallas(vol, depth, camera)  # warmup/compile
     _sync(v.weight)
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        v = integrate_jit(v, depth, camera)
+        v, miss = integrate_pallas(v, depth, camera)
     _sync(v.weight)
     dt_int = (time.perf_counter() - t0) / iters
     voxel_updates_per_s = grid**3 / dt_int

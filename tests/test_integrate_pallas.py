@@ -1,0 +1,89 @@
+"""Pallas integrate kernel (interpret mode) == lax reference path.
+
+The kernel's exact-or-skip contract: every updated voxel gets exactly the
+depth sample the reference math would fetch, and the miss counter is zero
+for normal camera poses.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tsdf_tpu import Camera, integrate, make_volume
+from tsdf_tpu.kernels import integrate_pallas
+from tsdf_tpu.utils import fixtures
+
+
+def _check(vol, cam, depth, nk=3):
+    ref = integrate(vol, depth, cam)
+    out, miss = integrate_pallas(vol, depth, cam, nk=nk, interpret=True)
+    assert int(miss) == 0
+    np.testing.assert_allclose(
+        np.asarray(out.tsdf), np.asarray(ref.tsdf), atol=5e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.weight), np.asarray(ref.weight)
+    )
+
+
+def test_matches_lax_forward_camera():
+    vol = make_volume((64, 64, 64), 2000.0, offset=(-1000.0, -1000.0, 0.0))
+    cam = (
+        Camera.default_depth_camera()
+        .move_to([0.0, 0.0, -500.0])
+        .look_at([0.0, 0.0, 1000.0])
+    )
+    depth = jnp.asarray(fixtures.sphere_depth_map(640, 480, 120.0, 800.0, 1600.0))
+    _check(vol, cam, depth)
+
+
+def test_matches_lax_offaxis_camera():
+    vol = make_volume((64, 64, 64), 2000.0, offset=(-1000.0, -1000.0, 0.0))
+    cam = (
+        Camera.default_depth_camera()
+        .move_to([400.0, -250.0, -600.0])
+        .look_at([-100.0, 150.0, 1200.0])
+    )
+    depth = jnp.asarray(fixtures.sphere_depth_map(640, 480, 120.0, 800.0, 1600.0))
+    _check(vol, cam, depth)
+
+
+def test_matches_lax_nonaligned_grid():
+    # 50^3: exercises X/Y padding to lane multiples
+    vol = make_volume((50, 50, 50), 1500.0, offset=(-750.0, -750.0, 0.0))
+    cam = (
+        Camera.default_depth_camera()
+        .move_to([0.0, 0.0, -400.0])
+        .look_at([50.0, -30.0, 800.0])
+    )
+    depth = jnp.asarray(fixtures.sphere_depth_map(320, 200, 60.0, 500.0, 1200.0))
+    _check(vol, cam, depth)
+
+
+def test_accumulates_over_frames():
+    vol = make_volume((32, 32, 32), 1000.0, offset=(-500.0, -500.0, 0.0))
+    cam = (
+        Camera.default_depth_camera()
+        .move_to([0.0, 0.0, -300.0])
+        .look_at([0.0, 0.0, 500.0])
+    )
+    depth = jnp.asarray(fixtures.sphere_depth_map(64, 48, 12.0, 400.0, 800.0))
+    ref = vol
+    out = vol
+    for _ in range(3):
+        ref = integrate(ref, depth, cam)
+        out, miss = integrate_pallas(out, depth, cam, interpret=True)
+        assert int(miss) == 0
+    np.testing.assert_allclose(
+        np.asarray(out.tsdf), np.asarray(ref.tsdf), atol=5e-3
+    )
+
+
+def test_rejects_deformed_volume():
+    vol = make_volume(
+        (16, 16, 16), 1000.0, offset=(0.0, 0.0, 0.0), with_deformation=True
+    )
+    cam = Camera.default_depth_camera()
+    depth = jnp.zeros((48, 64), jnp.uint16)
+    with pytest.raises(ValueError):
+        integrate_pallas(vol, depth, cam, interpret=True)

@@ -1,0 +1,13 @@
+"""Pallas TPU kernels for the hot ops.
+
+The reference's CUDA kernels (SURVEY.md §2.9) become Mosaic kernels here.
+XLA's generic gather/scatter is the enemy on TPU (measured ~0.11 G
+lookups/s and pathological compile times for the per-voxel depth fetch);
+these kernels restructure the memory access into the per-vreg
+``dynamic_gather`` forms the VPU actually supports (lane-gather at width
+128, sublane-gather at height 8).
+"""
+
+from .integrate import integrate_pallas
+
+__all__ = ["integrate_pallas"]

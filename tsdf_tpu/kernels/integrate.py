@@ -1,0 +1,352 @@
+"""Pallas TPU kernel for rigid TSDF depth integration.
+
+TPU-native replacement for the reference ``integrate_kernel``
+(ref: src/TSDF/TSDFVolume.cu:308-392). The math per voxel is identical to
+ops/integrate.py (the lax reference path); what changes is how the
+per-voxel depth lookup ``depth[round(py), round(px)]`` is executed.
+
+XLA lowers that lookup to a generic gather: measured ~0.11 G lookups/s on
+v5e plus minutes of compile time — 50x off the HBM roofline. The TPU VPU
+has no scatter/gather hardware; what Mosaic *does* support is
+``dynamic_gather`` within one vreg dimension: ``take_along_axis`` on a
+(S, 128) block along lanes. This kernel restructures the projective
+lookup into exactly those ops via a line-warp decomposition:
+
+  All voxel columns (fixed x, varying y) are parallel 3D lines, so their
+  images are lines through the common vanishing point of the volume's
+  +y axis: px = alpha(x) + beta(x) * py. For each volume z-slab:
+
+  pass 1  tmp_k[y_img, x] = depth[y_img, round(alpha + beta*y_img) + k]
+          for a few candidate column offsets k — a lane-gather of depth
+          column-blocks, since the column index depends only on
+          (y_img, x);
+  pass 2  val_k[y, x] = tmp_k[round(py), x] — after a transpose, another
+          lane-gather along the y_img dimension;
+  select  the candidate whose column equals round(px) computed exactly
+          per voxel. If no candidate matches (|beta| > nk/2 - 0.5, i.e.
+          extreme camera roll), the voxel is *skipped* and counted —
+          exact-or-skip semantics, never a wrong depth value. For
+          upright-ish cameras |beta| < 1 and nk=3 gives zero misses.
+
+Cost: O(nk * W/128) vreg lane-gathers per depth row instead of a scalar
+gather per voxel; the kernel is HBM-bound on the tsdf+weight streams.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..camera import Camera
+from ..volume import TSDFVolume
+
+_LANE = 128
+_BIG = 1.0e6
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _kernel(
+    params_ref,  # (1, 24) f32 SMEM
+    depth_ref,  # (Hp, Wp) f32 VMEM
+    tsdf_ref,  # (1, Y, BX) f32 VMEM
+    weight_ref,  # (1, Y, BX) f32 VMEM
+    out_tsdf_ref,  # (1, Y, BX) f32
+    out_weight_ref,  # (1, Y, BX) f32
+    out_miss_ref,  # (1, 1, 8, 128) i32 VMEM (count broadcast; [0,0] read)
+    *,
+    Y: int,
+    BX: int,
+    Hp: int,
+    Wp: int,
+    Hr: int,
+    Wr: int,
+    Yr: int,
+    Xr: int,
+    nk: int,
+    cap_weight: bool,
+):
+    z = pl.program_id(0)
+    xb = pl.program_id(1)
+
+    p = params_ref
+    r00, r01, r02, t0 = p[0, 0], p[0, 1], p[0, 2], p[0, 3]
+    r10, r11, r12, t1 = p[0, 4], p[0, 5], p[0, 6], p[0, 7]
+    r20, r21, r22, t2 = p[0, 8], p[0, 9], p[0, 10], p[0, 11]
+    fx, fy, cx0, cy0 = p[0, 12], p[0, 13], p[0, 14], p[0, 15]
+    off_x, off_y, off_z = p[0, 16], p[0, 17], p[0, 18]
+    vs_x, vs_y, vs_z = p[0, 19], p[0, 20], p[0, 21]
+    trunc = p[0, 22]
+    max_weight = p[0, 23]
+
+    zf = z.astype(jnp.float32)
+    cz = off_z + (zf + 0.5) * vs_z
+    x0 = (xb * BX).astype(jnp.float32)
+
+    # --- exact per-voxel projection (Y, BX) ------------------------------
+    xv_i = jax.lax.broadcasted_iota(jnp.int32, (Y, BX), 1)
+    yv_i = jax.lax.broadcasted_iota(jnp.int32, (Y, BX), 0)
+    xv = xv_i.astype(jnp.float32) + x0
+    yv = yv_i.astype(jnp.float32)
+    # real (unpadded) voxels only; padded lanes never update or count
+    vox_valid = (xv_i + pl.program_id(1) * BX < Xr) & (yv_i < Yr)
+    wx = off_x + (xv + 0.5) * vs_x
+    wy = off_y + (yv + 0.5) * vs_y
+    kx = r02 * cz + t0
+    ky = r12 * cz + t1
+    kz = r22 * cz + t2
+    Xc = r00 * wx + r01 * wy + kx
+    Yc = r10 * wx + r11 * wy + ky
+    Zc = r20 * wx + r21 * wy + kz
+    px = fx * Xc / Zc + cx0
+    py = fy * Yc / Zc + cy0
+    px = jnp.where(jnp.isfinite(px), jnp.clip(px, -_BIG, _BIG), -1.0)
+    py = jnp.where(jnp.isfinite(py), jnp.clip(py, -_BIG, _BIG), -1.0)
+    pxr = jnp.round(px).astype(jnp.int32)
+    pyr = jnp.round(py).astype(jnp.int32)
+    in_img = (
+        (pxr >= 0) & (pxr < Wr) & (pyr >= 0) & (pyr < Hr) & vox_valid
+    )
+
+    # --- per-column image line px = alpha + beta * py (1, BX) ------------
+    wx_row = off_x + (
+        jax.lax.broadcasted_iota(jnp.int32, (1, BX), 1).astype(jnp.float32)
+        + x0
+        + 0.5
+    ) * vs_x
+    wyA = off_y + 0.5 * vs_y
+    wyB = off_y + (Y - 0.5) * vs_y
+
+    def _project_row(wy_s):
+        Xr = r00 * wx_row + r01 * wy_s + kx
+        Yr = r10 * wx_row + r11 * wy_s + ky
+        Zr = r20 * wx_row + r21 * wy_s + kz
+        pxa = fx * Xr / Zr + cx0
+        pya = fy * Yr / Zr + cy0
+        return pxa, pya
+
+    pxA, pyA = _project_row(wyA)
+    pxB, pyB = _project_row(wyB)
+    denom = pyB - pyA
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    beta = (pxB - pxA) / denom
+    alpha = pxA - beta * pyA
+    beta = jnp.where(jnp.isfinite(beta), jnp.clip(beta, -_BIG, _BIG), 0.0)
+    alpha = jnp.where(
+        jnp.isfinite(alpha), jnp.clip(alpha, -_BIG, _BIG), -_BIG
+    )
+
+    # --- pass 1: tmp_k[y_img, x] = depth[y_img, c0 + ko] -----------------
+    y_img = jax.lax.broadcasted_iota(jnp.int32, (Hp, BX), 0).astype(
+        jnp.float32
+    )
+    cf = alpha + beta * y_img  # (Hp, BX) — alpha/beta broadcast over rows
+    c0 = jnp.round(jnp.clip(cf, -_BIG, _BIG)).astype(jnp.int32)
+
+    depth_full = depth_ref[...]  # (Hp, Wp)
+
+    tmps = []
+    for k in range(nk):
+        ko = k - nk // 2
+        subs = []
+        for xsub in range(BX // _LANE):
+            sl = slice(xsub * _LANE, (xsub + 1) * _LANE)
+            idx = c0[:, sl] + ko  # (Hp, 128)
+            sub = jnp.zeros((Hp, _LANE), jnp.float32)
+            for cb in range(Wp // _LANE):
+                local = idx - cb * _LANE
+                valid = (local >= 0) & (local < _LANE)
+                g = jnp.take_along_axis(
+                    depth_full[:, cb * _LANE : (cb + 1) * _LANE],
+                    jnp.clip(local, 0, _LANE - 1),
+                    axis=1,
+                )
+                sub = jnp.where(valid, g, sub)
+            subs.append(sub)
+        tmps.append(jnp.concatenate(subs, axis=1))  # (Hp, BX)
+
+    # --- pass 2: val_k[y, x] = tmp_k[pyr, x], then exact-column select ---
+    pyr_g = jnp.clip(pyr, 0, Hp - 1)  # gather-safe row index
+    pyrT = pyr_g.T  # (BX, Y)
+
+    c0r = jnp.round(
+        jnp.clip(alpha + beta * pyr.astype(jnp.float32), -_BIG, _BIG)
+    ).astype(jnp.int32)  # (Y, BX) candidate base column at the fetched row
+
+    depth_val = jnp.zeros((Y, BX), jnp.float32)
+    matched = jnp.zeros((Y, BX), jnp.bool_)
+    for k in range(nk):
+        ko = k - nk // 2
+        tkT = tmps[k].T  # (BX, Hp)
+        vsubs = []
+        for yvb in range(Y // _LANE):
+            ysl = slice(yvb * _LANE, (yvb + 1) * _LANE)
+            idx = pyrT[:, ysl]  # (BX, 128), values in [0, Hp)
+            sub = jnp.zeros((BX, _LANE), jnp.float32)
+            for cb2 in range(Hp // _LANE):
+                local = idx - cb2 * _LANE
+                valid = (local >= 0) & (local < _LANE)
+                g = jnp.take_along_axis(
+                    tkT[:, cb2 * _LANE : (cb2 + 1) * _LANE],
+                    jnp.clip(local, 0, _LANE - 1),
+                    axis=1,
+                )
+                sub = jnp.where(valid, g, sub)
+            vsubs.append(sub)
+        val_k = jnp.concatenate(vsubs, axis=1).T  # (Y, BX)
+        match_k = (c0r + ko) == pxr
+        depth_val = jnp.where(match_k, val_k, depth_val)
+        matched = matched | match_k
+
+    # --- the TSDF update (identical math to ops/integrate.py) ------------
+    d = tsdf_ref[0]
+    w = weight_ref[0]
+    sdf = depth_val - Zc
+    update = in_img & matched & (depth_val > 0.0) & (sdf >= -trunc)
+    tsdf_obs = jnp.minimum(sdf, trunc)
+    new_w = w + 1.0
+    new_d = (d * w + tsdf_obs) / new_w
+    if cap_weight:
+        new_w = jnp.minimum(new_w, max_weight)
+    out_tsdf_ref[0] = jnp.where(update, new_d, d)
+    out_weight_ref[0] = jnp.where(update, new_w, w)
+    miss_count = jnp.sum((in_img & ~matched).astype(jnp.int32))
+    out_miss_ref[0, 0] = jnp.full((8, _LANE), miss_count, jnp.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cap_weight", "nk", "interpret"),
+)
+def integrate_pallas(
+    vol: TSDFVolume,
+    depth: jnp.ndarray,
+    camera: Camera,
+    cap_weight: bool = False,
+    nk: int = 3,
+    interpret: bool = False,
+) -> tuple[TSDFVolume, jnp.ndarray]:
+    """Fuse one depth frame (rigid path) with the Pallas kernel.
+
+    Args:
+      vol: volume pytree; ``deform`` must be None (rigid). The non-rigid
+        path uses ops/integrate.py.
+      depth: (H, W) mm depth, u16/f32; zero = no data.
+      camera: Camera with pose = camera->world.
+      nk: number of candidate depth columns (odd). nk=3 is exact for
+        |beta| <= 1 (upright-ish cameras); raise to 5 for extreme roll.
+
+    Returns:
+      (updated volume, miss_count) — miss_count is the number of
+      in-frustum voxels skipped because no candidate column matched
+      (0 in normal operation; nonzero signals extreme camera roll, in
+      which case re-run with larger nk or ops.integrate).
+    """
+    if vol.deform is not None:
+        raise ValueError(
+            "integrate_pallas is the rigid path; use ops.integrate for "
+            "deformed volumes"
+        )
+    Z, Yr, Xr = vol.tsdf.shape
+    Hr, Wr = depth.shape
+
+    Y = _round_up(Yr, _LANE)
+    X = _round_up(Xr, _LANE)
+    Hp = _round_up(Hr, _LANE)  # padded so Hp/_LANE pass-2 blocks tile it
+    Wp = _round_up(Wr, _LANE)
+
+    depth_f = jnp.asarray(depth, jnp.float32)
+    if (Hp, Wp) != (Hr, Wr):
+        depth_f = jnp.pad(depth_f, ((0, Hp - Hr), (0, Wp - Wr)))
+
+    tsdf = vol.tsdf
+    weight = vol.weight
+    if (Y, X) != (Yr, Xr):
+        pad = ((0, 0), (0, Y - Yr), (0, X - Xr))
+        tsdf = jnp.pad(tsdf, pad)
+        weight = jnp.pad(weight, pad)
+
+    # Per-program VMEM: in/out slab blocks + tmp warps + index planes must
+    # fit in 16MB with double buffering; BX=128 keeps 512^3 at ~10MB.
+    BX = min(X, _LANE)
+    n_xb = X // BX
+
+    pose_inv = camera.pose_inv
+    params = jnp.concatenate(
+        [
+            pose_inv[0, 0:4],
+            pose_inv[1, 0:4],
+            pose_inv[2, 0:4],
+            jnp.stack(
+                [
+                    camera.k[0, 0],
+                    camera.k[1, 1],
+                    camera.k[0, 2],
+                    camera.k[1, 2],
+                ]
+            ),
+            vol.offset,
+            vol.voxel_size,
+            jnp.stack(
+                [
+                    vol.truncation_distance.astype(jnp.float32),
+                    vol.max_weight.astype(jnp.float32),
+                ]
+            ),
+        ]
+    ).reshape(1, 24)
+
+    kern = partial(
+        _kernel,
+        Y=Y,
+        BX=BX,
+        Hp=Hp,
+        Wp=Wp,
+        Hr=Hr,
+        Wr=Wr,
+        Yr=Yr,
+        Xr=Xr,
+        nk=nk,
+        cap_weight=cap_weight,
+    )
+
+    new_tsdf, new_weight, miss = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
+            jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
+            jax.ShapeDtypeStruct((Z, n_xb, 8, _LANE), jnp.int32),
+        ),
+        grid=(Z, n_xb),
+        in_specs=[
+            pl.BlockSpec((1, 24), lambda z, xb: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((Hp, Wp), lambda z, xb: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Y, BX), lambda z, xb: (z, 0, xb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Y, BX), lambda z, xb: (z, 0, xb), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, Y, BX), lambda z, xb: (z, 0, xb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Y, BX), lambda z, xb: (z, 0, xb), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, 8, _LANE),
+                lambda z, xb: (z, xb, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        interpret=interpret,
+    )(params, depth_f, tsdf, weight)
+
+    if (Y, X) != (Yr, Xr):
+        new_tsdf = new_tsdf[:, :Yr, :Xr]
+        new_weight = new_weight[:, :Yr, :Xr]
+
+    return (
+        vol.replace(tsdf=new_tsdf, weight=new_weight),
+        jnp.sum(miss[:, :, 0, 0]),
+    )
