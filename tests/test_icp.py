@@ -1,0 +1,97 @@
+"""ICP tracking: recover a known small camera motion on a synthetic scene.
+
+The moral equivalent of the reference's tsdf_icp tool flow: render the
+model from two nearby poses and check the estimated incremental
+transform against ground truth (ref: src/Tools/tsdf_icp.cpp:115-198).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tsdf_tpu import Camera, make_volume
+from tsdf_tpu.ops.raycast import render_to_depth_image
+from tsdf_tpu.tracking import (
+    depth_pyramid,
+    get_incremental_transformation,
+    normal_map,
+    vertex_map,
+)
+from tsdf_tpu.utils import fixtures
+
+W, H = 160, 120
+FX, FY, CX, CY = 591.1 / 4, 590.1 / 4, 331.0 / 4, 234.6 / 4
+
+
+def _scene_depths(delta_pose):
+    vol = make_volume((64, 64, 64), 2000.0, offset=(-1000.0, -1000.0, 0.0))
+    # wall + two offset spheres: constrains all 6 DoF (a lone sphere is
+    # degenerate for point-to-plane ICP — tangential slide is free)
+    wall = fixtures.wall_tsdf(vol, 1500.0)
+    s1 = fixtures.sphere_tsdf(vol, 380.0, centre=(150.0, -100.0, 900.0))
+    s2 = fixtures.sphere_tsdf(vol, 220.0, centre=(-420.0, 300.0, 700.0))
+    tsdf = jnp.minimum(jnp.minimum(wall.tsdf, s1.tsdf), s2.tsdf)
+    vol = vol.replace(tsdf=tsdf, weight=jnp.ones_like(vol.weight))
+
+    cam_prev = (
+        Camera.from_intrinsics(FX, FY, CX, CY)
+        .move_to([0.0, 0.0, -400.0])
+        .look_at([0.0, 0.0, 1000.0])
+    )
+    cam_curr = cam_prev.set_pose(cam_prev.pose @ delta_pose)
+    d_prev = render_to_depth_image(vol, cam_prev, width=W, height=H)
+    d_curr = render_to_depth_image(vol, cam_curr, width=W, height=H)
+    return cam_prev, cam_curr, d_prev, d_curr
+
+
+def _run(delta_pose):
+    cam_prev, cam_curr, d_prev, d_curr = _scene_depths(delta_pose)
+    res = get_incremental_transformation(
+        d_curr, d_prev, FX, FY, CX, CY
+    )
+    t_gt = np.asarray(
+        jnp.linalg.inv(cam_prev.pose) @ cam_curr.pose
+    )
+    t_est = np.asarray(res.pose)
+    rot_err = np.rad2deg(
+        np.arccos(
+            np.clip((np.trace(t_est[:3, :3].T @ t_gt[:3, :3]) - 1) / 2, -1, 1)
+        )
+    )
+    trans_err = np.linalg.norm(t_est[:3, 3] - t_gt[:3, 3])
+    return rot_err, trans_err, res
+
+
+def test_recovers_translation():
+    delta = jnp.eye(4).at[0:3, 3].set(jnp.array([15.0, -10.0, 8.0]))
+    rot_err, trans_err, res = _run(delta)
+    assert trans_err < 3.0, trans_err
+    assert rot_err < 0.3, rot_err
+    assert float(res.inliers) > 1000
+
+
+def test_recovers_small_rotation():
+    a = 0.02  # rad, ~1.1 deg about y
+    c, s = np.cos(a), np.sin(a)
+    delta = jnp.array(
+        [[c, 0, s, 5.0], [0, 1, 0, 0.0], [-s, 0, c, -5.0], [0, 0, 0, 1.0]],
+        jnp.float32,
+    )
+    rot_err, trans_err, res = _run(delta)
+    assert rot_err < 0.3, rot_err
+    assert trans_err < 4.0, trans_err
+
+
+def test_identity_stays_identity():
+    rot_err, trans_err, res = _run(jnp.eye(4))
+    assert rot_err < 0.05 and trans_err < 1.0
+    assert float(res.error) < 5.0  # mm RMS on a rendered scene
+
+
+def test_maps_shapes():
+    d = jnp.full((H, W), 1000.0, jnp.float32)
+    pyr = depth_pyramid(d)
+    assert [p.shape for p in pyr] == [(H, W), (H // 2, W // 2), (H // 4, W // 4)]
+    vm = vertex_map(pyr[1], FX / 2, FY / 2, CX / 2, CY / 2)
+    nm = normal_map(vm)
+    assert vm.shape == (H // 2, W // 2, 3)
+    assert nm.shape == vm.shape
