@@ -1,0 +1,107 @@
+"""End-to-end pipelines: GT-pose fusion and the tracked KinectFusion loop.
+
+The tracked loop is gated on trajectory error vs ground truth
+(SURVEY.md §7 stage 5), on a synthetic scene rendered from moving poses.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tsdf_tpu import Camera, make_volume
+from tsdf_tpu.ops.bilateral import bilateral_filter
+from tsdf_tpu.ops.raycast import raycast, render_to_depth_image
+from tsdf_tpu.pipelines import FusionConfig, fuse_frames, track_and_fuse_frames
+from tsdf_tpu.utils import fixtures
+
+W, H = 160, 120
+FX, FY, CX, CY = 591.1 / 4, 590.1 / 4, 331.0 / 4, 234.6 / 4
+
+
+def _gt_scene():
+    vol = make_volume((64, 64, 64), 2000.0, offset=(-1000.0, -1000.0, 0.0))
+    wall = fixtures.wall_tsdf(vol, 1500.0)
+    s1 = fixtures.sphere_tsdf(vol, 380.0, centre=(150.0, -100.0, 900.0))
+    s2 = fixtures.sphere_tsdf(vol, 220.0, centre=(-420.0, 300.0, 700.0))
+    return vol.replace(
+        tsdf=jnp.minimum(jnp.minimum(wall.tsdf, s1.tsdf), s2.tsdf),
+        weight=jnp.ones_like(vol.weight),
+    )
+
+
+def _trajectory(n):
+    cams = []
+    for i in range(n):
+        t = i / max(n - 1, 1)
+        cam = (
+            Camera.from_intrinsics(FX, FY, CX, CY)
+            .move_to([40.0 * t, -25.0 * t, -400.0 + 30.0 * t])
+            .look_at([0.0, 0.0, 1000.0])
+        )
+        cams.append(cam)
+    return cams
+
+
+def test_gt_pose_fusion_reconstructs_scene():
+    scene = _gt_scene()
+    cams = _trajectory(5)
+    frames = [
+        (render_to_depth_image(scene, c, width=W, height=H), c.pose)
+        for c in cams
+    ]
+    vol = make_volume((64, 64, 64), 2000.0, offset=(-1000.0, -1000.0, 0.0))
+    cfg = FusionConfig(width=W, height=H)
+    vol, cam = fuse_frames(vol, cams[0], frames, cfg)
+    # raycast the fused volume from the first pose: hits should land on
+    # the original scene's surface
+    v_f, _ = raycast(vol, cams[0], width=W, height=H)
+    v_s, _ = raycast(scene, cams[0], width=W, height=H)
+    hf = np.isfinite(np.asarray(v_f)).all(-1)
+    hs = np.isfinite(np.asarray(v_s)).all(-1)
+    both = hf & hs
+    assert both.sum() > 0.8 * hs.sum()
+    err = np.linalg.norm(np.asarray(v_f)[both] - np.asarray(v_s)[both], axis=-1)
+    assert np.median(err) < 15.0  # half a voxel
+
+
+def test_tracked_fusion_recovers_trajectory():
+    scene = _gt_scene()
+    cams = _trajectory(5)
+    frames = [
+        render_to_depth_image(scene, c, width=W, height=H) for c in cams
+    ]
+    vol = make_volume((64, 64, 64), 2000.0, offset=(-1000.0, -1000.0, 0.0))
+    cfg = FusionConfig(width=W, height=H)
+    vol, cam, poses, stats = track_and_fuse_frames(vol, cams[0], frames, cfg)
+    # absolute trajectory error vs ground truth
+    for est, c in zip(poses, cams):
+        terr = np.linalg.norm(np.asarray(est)[:3, 3] - np.asarray(c.pose)[:3, 3])
+        assert terr < 10.0, terr
+    # quality metrics surfaced (ref: lastError/lastInliers)
+    err, inl = stats[-1]
+    assert float(inl) > 1000
+    assert float(err) < 10.0
+
+
+def test_bilateral_filter_smooths_preserves_holes():
+    rng = np.random.RandomState(0)
+    depth = 1000.0 + rng.randn(48, 64) * 5.0
+    depth[10:20, 10:20] = 0.0  # hole
+    out = np.asarray(bilateral_filter(jnp.asarray(depth, jnp.float32)))
+    assert (out[10:20, 10:20] == 0).all()  # holes preserved
+    inner = out[30:40, 30:40]
+    assert inner.std() < depth[30:40, 30:40].std()  # smoothing
+    assert abs(inner.mean() - 1000.0) < 2.0
+
+
+def test_bilateral_filter_preserves_edges():
+    depth = np.full((48, 64), 1000.0, np.float32)
+    depth[:, 32:] = 2000.0
+    out = np.asarray(bilateral_filter(jnp.asarray(depth)))
+    # similarity weight exp(-1000/sigma_c^2) strongly damps cross-edge
+    # taps; the reference formula is linear in |dv| so a small residual
+    # pull remains
+    assert abs(out[24, 31] - 1000.0) < 100.0
+    assert abs(out[24, 32] - 2000.0) < 100.0
+    # far from the edge: untouched
+    assert abs(out[24, 5] - 1000.0) < 1.0
+    assert abs(out[24, 60] - 2000.0) < 1.0

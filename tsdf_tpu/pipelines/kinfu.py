@@ -1,0 +1,132 @@
+"""KinectFusion pipelines: GT-pose fusion and tracked fusion.
+
+ref: src/Tools/kinfu.cpp:150-222 (GT-pose fuse + render + mesh) and the
+full KinectFusion loop (bilateral -> ICP against raycast model ->
+integrate) that the reference ships components for (BilateralFilter,
+ICP_CUDA, TSDFVolume) but never wires together (SURVEY.md §2.8 note on
+the unused filter; BASELINE config 3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..camera import Camera
+from ..ops.bilateral import bilateral_filter
+from ..ops.integrate import integrate
+from ..ops.raycast import render_to_depth_image
+from ..tracking.icp import get_incremental_transformation
+from ..volume import TSDFVolume, make_volume
+
+
+@dataclasses.dataclass(frozen=True)
+class FusionConfig:
+    """The reference's scattered compile-time constants, in one place
+    (SURVEY.md §5 'Config / flag system: no framework')."""
+
+    volume_size: tuple[int, int, int] = (200, 200, 200)  # ref: kinfu.cpp:23
+    physical_size_mm: float = 3000.0
+    offset_mm: Optional[tuple[float, float, float]] = None
+    cap_weight: bool = False
+    use_bilateral_filter: bool = False  # ref default: compiled, unused
+    sigma_colour: float = 20.0
+    sigma_space: float = 3.0
+    width: int = 640
+    height: int = 480
+    use_pallas: bool = False  # Pallas kernels (TPU); lax path otherwise
+
+    def make_volume(self) -> TSDFVolume:
+        return make_volume(
+            self.volume_size, self.physical_size_mm, offset=self.offset_mm
+        )
+
+
+def _integrate(vol, depth, camera, config: FusionConfig):
+    if config.use_pallas and vol.deform is None:
+        from ..kernels.integrate import integrate_pallas
+
+        vol, _miss = integrate_pallas(
+            vol, depth, camera, cap_weight=config.cap_weight
+        )
+        return vol
+    return integrate(vol, depth, camera, cap_weight=config.cap_weight)
+
+
+def fuse_frames(
+    vol: TSDFVolume,
+    camera: Camera,
+    frames: Iterable[tuple[jnp.ndarray, jnp.ndarray]],
+    config: FusionConfig = FusionConfig(),
+) -> tuple[TSDFVolume, Camera]:
+    """Fuse (depth, pose) frames with ground-truth poses.
+
+    ref: kinfu.cpp:33-56 — the reference uses TUM ground-truth poses,
+    no tracking.
+
+    Args:
+      frames: iterable of (depth (H, W) mm, pose (4, 4) camera->world).
+
+    Returns (volume, camera-at-last-pose).
+    """
+    for depth, pose in frames:
+        camera = camera.set_pose(pose)
+        if config.use_bilateral_filter:
+            depth = bilateral_filter(
+                depth, config.sigma_colour, config.sigma_space
+            )
+        vol = _integrate(vol, depth, camera, config)
+    return vol, camera
+
+
+def track_and_fuse_frames(
+    vol: TSDFVolume,
+    camera: Camera,
+    frames: Iterable[jnp.ndarray],
+    config: FusionConfig = FusionConfig(),
+):
+    """Full KinectFusion: bilateral -> ICP vs raycast model -> integrate.
+
+    The first frame is integrated at the camera's current pose; each
+    later frame is tracked against a model render from the previous
+    pose (frame-to-model tracking).
+
+    Args:
+      frames: iterable of depth images (H, W) mm.
+
+    Returns:
+      (volume, camera at final pose, list of (4,4) per-frame poses,
+       list of (error_mm, inliers) tracking stats).
+    """
+    k = camera.k
+    fx, fy = k[0, 0], k[1, 1]
+    cx, cy = k[0, 2], k[1, 2]
+
+    poses = []
+    stats = []
+    first = True
+    for depth in frames:
+        if config.use_bilateral_filter:
+            depth = bilateral_filter(
+                depth, config.sigma_colour, config.sigma_space
+            )
+        if not first:
+            model_depth = render_to_depth_image(
+                vol, camera, width=config.width, height=config.height
+            )
+            res = get_incremental_transformation(
+                depth, model_depth, fx, fy, cx, cy
+            )
+            # res.pose maps current-cam -> previous-cam coords;
+            # new camera->world = prev pose o T_prev_curr
+            camera = camera.set_pose(camera.pose @ res.pose)
+            stats.append((res.error, res.inliers))
+        else:
+            stats.append((jnp.array(0.0), jnp.array(0.0)))
+            first = False
+        vol = _integrate(vol, depth, camera, config)
+        poses.append(camera.pose)
+    return vol, camera, poses, stats
