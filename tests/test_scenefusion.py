@@ -1,0 +1,154 @@
+"""SceneFusion: scene-flow IO, mock replay rig, deformation update."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tsdf_tpu import Camera, make_volume
+from tsdf_tpu.io.mock_kinect import MockKinect
+from tsdf_tpu.io.png import save_png
+from tsdf_tpu.io.sceneflow import (
+    PDSFMockSceneFlow,
+    SRSFMockSceneFlow,
+    read_pdflow,
+    read_srsf_xml,
+)
+from tsdf_tpu.ops.marching_cubes import extract_surface
+from tsdf_tpu.ops.raycast import render_to_depth_image
+from tsdf_tpu.pipelines.scenefusion import (
+    SceneFusion,
+    SceneFusionConfig,
+    update_deformation,
+)
+from tsdf_tpu.utils import fixtures
+
+W, H = 160, 120
+FX, FY, CX, CY = 591.1 / 4, 590.1 / 4, 331.0 / 4, 234.6 / 4
+
+
+def _write_pdflow(path, h, w, flow_mms):
+    rows = []
+    for y in range(h):
+        for x in range(w):
+            fx_, fy_, fz_ = flow_mms
+            rows.append(f"{y} {x} {fz_/1000.0} {fx_/1000.0} {fy_/1000.0}")
+    with open(path, "w") as f:
+        f.write("\n".join(rows) + "\n")
+
+
+def test_read_pdflow(tmp_path):
+    p = tmp_path / "sflow_00001_results01.txt"
+    _write_pdflow(p, 4, 6, (10.0, -20.0, 5.0))
+    flow = read_pdflow(str(p))
+    assert flow.shape == (4, 6, 3)
+    np.testing.assert_allclose(flow[2, 3], [10.0, -20.0, 5.0], atol=1e-4)
+
+
+def test_read_srsf_xml(tmp_path):
+    xml = """<root>
+      <Translation><data>1 2 3</data></Translation>
+      <Rotation><data>0.1 0.2 0.3</data></Rotation>
+      <SFx><rows>2</rows><cols>3</cols><data>1 2 3 4 5 6</data></SFx>
+      <SFy><rows>2</rows><cols>3</cols><data>0 0 0 0 0 0</data></SFy>
+      <SFz><rows>2</rows><cols>3</cols><data>9 9 9 9 9 9</data></SFz>
+    </root>"""
+    p = tmp_path / "sflow_00000.xml"
+    p.write_text(xml)
+    t, r, flow = read_srsf_xml(str(p))
+    np.testing.assert_allclose(t, [1, 2, 3])
+    assert flow.shape == (2, 3, 3)
+    np.testing.assert_allclose(flow[1, 2], [6, 0, 9])
+
+
+def test_mock_sceneflow_replay(tmp_path):
+    for i in range(3):
+        _write_pdflow(
+            tmp_path / f"sflow_{i:05d}_results01.txt", 2, 2, (float(i), 0, 0)
+        )
+    sfa = PDSFMockSceneFlow(str(tmp_path))
+    assert sfa.init()
+    for i in range(3):
+        _t, _r, flow = sfa.compute_scene_flow()
+        assert flow[0, 0, 0] == pytest.approx(float(i))
+
+
+def test_mock_kinect_replay(tmp_path):
+    for i in range(2):
+        save_png(
+            tmp_path / f"depth_{i:05d}.png",
+            np.full((8, 8), 1000 + i, np.uint16),
+        )
+        save_png(
+            tmp_path / f"colour_{i:05d}.png",
+            np.zeros((8, 8, 3), np.uint8),
+        )
+    dev = MockKinect(str(tmp_path))
+    dev.initialise()
+    got = []
+    dev.add_observer(lambda d, c: got.append((d, c)))
+    dev.start()
+    assert len(got) == 2
+    assert got[1][0][0, 0] == 1001
+    assert got[0][1].shape == (8, 8, 3)
+
+
+def _sphere_setup():
+    vol = make_volume(
+        (48, 48, 48), 1500.0, offset=(-750.0, -750.0, 0.0),
+        with_deformation=True,
+    )
+    vol = fixtures.sphere_tsdf(vol, 300.0, centre=(0.0, 0.0, 750.0))
+    cam = (
+        Camera.from_intrinsics(FX, FY, CX, CY)
+        .move_to([0.0, 0.0, -200.0])
+        .look_at([0.0, 0.0, 750.0])
+    )
+    depth = render_to_depth_image(vol, cam, width=W, height=H)
+    return vol, cam, depth
+
+
+def test_update_deformation_shifts_surface_voxels():
+    vol, cam, depth = _sphere_setup()
+    flow = jnp.broadcast_to(
+        jnp.array([25.0, 0.0, 0.0], jnp.float32), (H, W, 3)
+    )
+    soup = extract_surface(vol, max_cubes=1 << 14, max_vertices=1 << 16)
+    new_vol, n_corr = update_deformation(vol, soup, depth, cam, flow)
+    assert int(n_corr) > 100
+    delta = np.asarray(new_vol.deform - vol.deform)
+    moved = np.abs(delta[..., 0]) > 1.0
+    assert moved.sum() > 100  # surface voxels got the flow
+    # moved voxels shifted in +x by up to the flow magnitude
+    assert delta[..., 0].max() <= 25.0 + 1e-3
+    assert delta[..., 0].max() > 10.0
+    # y/z untouched
+    assert np.abs(delta[..., 1]).max() < 1e-3
+
+
+def test_scenefusion_orchestrator(tmp_path):
+    vol, cam, depth = _sphere_setup()
+    d = np.asarray(depth)
+    for i in range(2):
+        save_png(tmp_path / f"depth_{i:05d}.png", d.astype(np.uint16))
+    _write_pdflow(tmp_path / "sflow_00000_results01.txt", H, W, (5.0, 0, 0))
+    _write_pdflow(tmp_path / "sflow_00001_results01.txt", H, W, (5.0, 0, 0))
+
+    sfa = PDSFMockSceneFlow(str(tmp_path))
+    assert sfa.init()
+    dev = MockKinect(str(tmp_path))
+    dev.initialise()
+    cfg = SceneFusionConfig(
+        volume_size=(48, 48, 48),
+        physical_size_mm=1500.0,
+        offset_mm=(-750.0, -750.0, 0.0),
+        max_cubes=1 << 14,
+        max_vertices=1 << 16,
+    )
+    sf = SceneFusion(sfa, dev, cfg, camera=cam)
+    dev.start()
+    assert sf.frame_index == 2
+    assert float(jnp.sum(sf.volume.weight)) > 0
+    soup = sf.extract_mesh()
+    assert int(soup.n_vertices) > 0
