@@ -1,0 +1,144 @@
+"""CLI end-to-end: fuse a synthetic TUM dataset, render, mesh, view, icp.
+
+Builds a miniature TUM directory (ground_truth.txt + 16-bit depth PNGs)
+in a tmpdir — the reference hardcodes absolute dataset paths
+(SURVEY.md §4 item 7); here fixtures are fabricated.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from tsdf_tpu import Camera, make_volume
+from tsdf_tpu.cli import main
+from tsdf_tpu.io.png import load_png, save_png
+from tsdf_tpu.io.tsdf_file import load_tsdf, save_tsdf
+from tsdf_tpu.ops.raycast import render_to_depth_image
+from tsdf_tpu.utils import fixtures
+
+W, H = 160, 120
+CAM_ARGS = [
+    "--fx", "147.775", "--fy", "147.525",
+    "--cx", "82.75", "--cy", "58.65",
+    "--width", str(W), "--height", str(H),
+]
+
+
+def _scene_volume():
+    vol = make_volume((48, 48, 48), 2000.0, offset=(-1000.0, -1000.0, 0.0))
+    wall = fixtures.wall_tsdf(vol, 1500.0)
+    s1 = fixtures.sphere_tsdf(vol, 380.0, centre=(150.0, -100.0, 900.0))
+    return vol.replace(
+        tsdf=jnp.minimum(wall.tsdf, s1.tsdf),
+        weight=jnp.ones_like(vol.weight),
+    )
+
+
+@pytest.fixture(scope="module")
+def tum_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tum")
+    (d / "depth").mkdir()
+    scene = _scene_volume()
+    lines = []
+    for i in range(3):
+        t = i / 2.0
+        cam = (
+            Camera.from_intrinsics(147.775, 147.525, 82.75, 58.65)
+            .move_to([30.0 * t, 0.0, -400.0])
+            .look_at([0.0, 0.0, 1000.0])
+        )
+        depth_mm = np.asarray(
+            render_to_depth_image(scene, cam, width=W, height=H)
+        )
+        # store in TUM units (1/5000 m = 0.2mm): x5
+        save_png(d / "depth" / f"{i}.0.png", (depth_mm * 5).astype(np.uint16))
+        # pose -> TUM line: tx ty tz (m) + quaternion
+        pose = np.asarray(cam.pose)
+        tx, ty, tz = pose[:3, 3] / 1000.0
+        r = pose[:3, :3]
+        qw = np.sqrt(max(0.0, 1 + r[0, 0] + r[1, 1] + r[2, 2])) / 2
+        qx = (r[2, 1] - r[1, 2]) / (4 * qw)
+        qy = (r[0, 2] - r[2, 0]) / (4 * qw)
+        qz = (r[1, 0] - r[0, 1]) / (4 * qw)
+        lines.append(f"{i}.0 {tx} {ty} {tz} {qx} {qy} {qz} {qw}")
+    (d / "ground_truth.txt").write_text("\n".join(lines) + "\n")
+    return d
+
+
+def test_fuse_render_mesh(tum_dir, tmp_path):
+    out_tsdf = tmp_path / "out.tsdf"
+    scene_png = tmp_path / "scene.png"
+    normals_png = tmp_path / "normals.png"
+    mesh_ply = tmp_path / "mesh.ply"
+    rc = main(
+        [
+            "fuse", "-d", str(tum_dir), "-m", "3", "-s", "48",
+            "--physical", "2000",
+            "-o", str(out_tsdf),
+            "--scene", str(scene_png),
+            "--normals", str(normals_png),
+            "--mesh", str(mesh_ply),
+            "--max-cubes", str(1 << 14),
+            "--max-vertices", str(1 << 16),
+        ]
+        + CAM_ARGS
+    )
+    assert rc == 0
+    assert out_tsdf.exists() and mesh_ply.exists()
+    scene = load_png(scene_png)
+    assert scene.shape == (H, W)
+    assert scene.max() > 50  # something rendered
+    normals = load_png(normals_png)
+    assert normals.shape == (H, W, 3)
+    # round-trip the checkpoint
+    vol = load_tsdf(str(out_tsdf))
+    assert vol.tsdf.shape == (48, 48, 48)
+    assert float(jnp.sum(vol.weight)) > 0
+
+
+def test_render_and_view_and_mesh(tmp_path):
+    vol = _scene_volume()
+    f = tmp_path / "scene.tsdf"
+    save_tsdf(vol, str(f))
+
+    rc = main(
+        [
+            "render", "-f", str(f),
+            "--scene", str(tmp_path / "s.png"),
+            "--normals", str(tmp_path / "n.png"),
+            "--look-from", "0,0,-400", "--look-at", "0,0,1000",
+        ]
+        + CAM_ARGS
+    )
+    assert rc == 0 and (tmp_path / "s.png").exists()
+
+    rc = main(["view", "-f", str(f), "-o", str(tmp_path / "slices")])
+    assert rc == 0
+    for name in ("top", "right", "front"):
+        assert (tmp_path / "slices" / f"{name}.png").exists()
+
+    rc = main(
+        [
+            "mesh", "-f", str(f), "-o", str(tmp_path / "m.ply"),
+            "--max-cubes", str(1 << 14), "--max-vertices", str(1 << 16),
+        ]
+    )
+    assert rc == 0
+    assert (tmp_path / "m.ply").read_text().startswith("ply")
+
+
+def test_icp_cli(tmp_path, capsys):
+    vol = _scene_volume()
+    f = tmp_path / "scene.tsdf"
+    save_tsdf(vol, str(f))
+    cam = Camera.from_intrinsics(147.775, 147.525, 82.75, 58.65)
+    depth = np.asarray(render_to_depth_image(vol, cam, width=W, height=H))
+    dpng = tmp_path / "depth.png"
+    save_png(dpng, depth.astype(np.uint16))
+    rc = main(["icp", "-v", str(f), "-d", str(dpng)] + CAM_ARGS)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "lastError" in out and "lastInliers" in out

@@ -1,0 +1,343 @@
+"""Command-line tools — the reference's CLI surface (SURVEY.md §2.11).
+
+Verbs (same flags as the reference where sensible):
+
+  fuse     kinfu -m N -d dir: fuse TUM frames (GT poses or --track ICP),
+           write scene.png/normals.png/mesh.ply/out.tsdf
+           (ref: src/Tools/kinfu.cpp:92-222)
+  render   kinfu -f file: load .tsdf, raycast to scene/normals PNGs
+  mesh     marching cubes a .tsdf to PLY
+  view     per-slice heat-map tiles of a .tsdf's distance field
+           (ref: src/Tools/tsdf_view.cpp:103-253)
+  icp      raycast a .tsdf to depth, ICP against a depth PNG, print the
+           incremental pose + lastError/lastInliers
+           (ref: src/Tools/tsdf_icp.cpp:115-198)
+  sfusion  non-rigid fusion from an RGBD dir + scene-flow dir
+           (ref: src/Tools/sfusion.cpp:6-27)
+
+Run as ``python -m tsdf_tpu <verb> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+
+import numpy as np
+
+
+def _make_camera(args):
+    from .camera import Camera
+
+    return Camera.from_intrinsics(args.fx, args.fy, args.cx, args.cy)
+
+
+def _add_camera_args(p):
+    # ref: Camera::default_depth_camera Camera.hpp:41-44
+    p.add_argument("--fx", type=float, default=591.1)
+    p.add_argument("--fy", type=float, default=590.1)
+    p.add_argument("--cx", type=float, default=331.0)
+    p.add_argument("--cy", type=float, default=234.6)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+
+
+def _render_outputs(vol, camera, args):
+    import jax.numpy as jnp
+
+    from .ops.raycast import raycast
+    from .ops.shading import normals_image, scene_image
+    from .io.png import save_png
+
+    verts, normals = raycast(
+        vol, camera, width=args.width, height=args.height
+    )
+    if args.scene:
+        img = scene_image(verts, normals, camera.position)
+        save_png(args.scene, np.asarray(img))
+        print(f"wrote {args.scene}")
+    if args.normals:
+        img = normals_image(normals)
+        save_png(args.normals, np.asarray(img))
+        print(f"wrote {args.normals}")
+
+
+def _write_mesh(vol, path, max_cubes, max_vertices):
+    from .io.ply import write_ply
+    from .ops.marching_cubes import extract_surface, soup_to_numpy
+
+    soup = extract_surface(
+        vol, max_cubes=max_cubes, max_vertices=max_vertices
+    )
+    if bool(soup.overflowed):
+        print(
+            "warning: mesh buffers overflowed; rerun with larger "
+            "--max-cubes/--max-vertices",
+            file=sys.stderr,
+        )
+    verts, tris = soup_to_numpy(soup)
+    write_ply(path, verts, tris)
+    print(f"wrote {path} ({len(verts)} vertices, {len(tris)} triangles)")
+
+
+def cmd_fuse(args):
+    import jax.numpy as jnp
+
+    from .io.tum import TUMDataLoader
+    from .pipelines.kinfu import (
+        FusionConfig,
+        fuse_frames,
+        track_and_fuse_frames,
+    )
+
+    cfg = FusionConfig(
+        volume_size=(args.size,) * 3,
+        physical_size_mm=args.physical,
+        use_bilateral_filter=args.filter,
+        width=args.width,
+        height=args.height,
+        use_pallas=args.pallas,
+    )
+    vol = cfg.make_volume()
+    camera = _make_camera(args)
+
+    loader = TUMDataLoader(args.dir)
+    n = args.frames if args.frames > 0 else len(loader)
+    frames = []
+    first_pose = None
+    for i, (depth_img, pose) in enumerate(loader):
+        if i >= n:
+            break
+        if first_pose is None:
+            first_pose = pose
+        frames.append((jnp.asarray(depth_img.data), jnp.asarray(pose)))
+    print(f"fusing {len(frames)} frames at {args.size}^3 ...")
+
+    if args.track:
+        camera = camera.set_pose(jnp.asarray(first_pose))
+        vol, camera, poses, stats = track_and_fuse_frames(
+            vol, camera, [d for d, _ in frames], cfg
+        )
+        err, inl = stats[-1]
+        print(
+            f"tracked {len(poses)} frames; lastError={float(err):.2f}mm "
+            f"lastInliers={int(inl)}"
+        )
+    else:
+        vol, camera = fuse_frames(vol, camera, frames, cfg)
+
+    if args.out:
+        from .io.tsdf_file import save_tsdf
+
+        save_tsdf(vol, args.out)
+        print(f"wrote {args.out}")
+
+    # render from the first frame's pose (ref: kinfu.cpp:174-196)
+    camera = camera.set_pose(jnp.asarray(first_pose))
+    _render_outputs(vol, camera, args)
+    if args.mesh:
+        _write_mesh(vol, args.mesh, args.max_cubes, args.max_vertices)
+
+
+def cmd_render(args):
+    import jax.numpy as jnp
+
+    from .io.tsdf_file import load_tsdf
+
+    vol = load_tsdf(args.file)
+    camera = _make_camera(args)
+    if args.look_from:
+        camera = camera.move_to(
+            [float(v) for v in args.look_from.split(",")]
+        )
+    if args.look_at:
+        camera = camera.look_at([float(v) for v in args.look_at.split(",")])
+    _render_outputs(vol, camera, args)
+
+
+def cmd_mesh(args):
+    from .io.tsdf_file import load_tsdf
+
+    vol = load_tsdf(args.file)
+    _write_mesh(vol, args.out, args.max_cubes, args.max_vertices)
+
+
+def cmd_view(args):
+    """Slice heat-maps: blue (negative) -> white (zero) -> red (positive),
+    tiled into one PNG per axis (ref: tsdf_view.cpp:103-253)."""
+    from .io.png import save_png
+    from .io.tsdf_file import load_tsdf
+
+    vol = load_tsdf(args.file)
+    d = np.asarray(vol.tsdf)
+    trunc = float(vol.truncation_distance)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    def heat(slice2d):
+        t = np.clip(slice2d / trunc, -1.0, 1.0)
+        img = np.zeros(slice2d.shape + (3,), np.uint8)
+        img[..., 0] = np.clip((1 + np.minimum(t, 0)) * 255, 0, 255)
+        img[..., 2] = np.clip((1 - np.maximum(t, 0)) * 255, 0, 255)
+        img[..., 1] = np.clip((1 - np.abs(t)) * 255, 0, 255)
+        return img
+
+    for name, axis in (("top", 1), ("right", 2), ("front", 0)):
+        n_slices = d.shape[axis]
+        cols = int(math.ceil(math.sqrt(n_slices)))
+        rows = int(math.ceil(n_slices / cols))
+        sl0 = heat(np.take(d, 0, axis=axis))
+        h, w = sl0.shape[:2]
+        tile = np.zeros((rows * h, cols * w, 3), np.uint8)
+        for i in range(n_slices):
+            r, c = divmod(i, cols)
+            tile[r * h : (r + 1) * h, c * w : (c + 1) * w] = heat(
+                np.take(d, i, axis=axis)
+            )
+        path = os.path.join(args.out_dir, f"{name}.png")
+        save_png(path, tile)
+        print(f"wrote {path}")
+
+
+def cmd_icp(args):
+    import jax.numpy as jnp
+
+    from .io.png import load_png
+    from .io.tsdf_file import load_tsdf
+    from .ops.raycast import render_to_depth_image
+    from .tracking.icp import get_incremental_transformation
+    from .utils.se3 import euler_to_matrix
+
+    vol = load_tsdf(args.volume)
+    depth = load_png(args.depth).astype(np.float32)
+    if args.depth_scale != 1.0:
+        depth = depth * args.depth_scale
+
+    camera = _make_camera(args)
+    # camera pose from the volume's global rot/trans, inverted
+    # (ref: tsdf_icp.cpp:139-172)
+    rot = euler_to_matrix(vol.global_rotation)
+    pose = jnp.eye(4, dtype=jnp.float32)
+    pose = pose.at[0:3, 0:3].set(rot)
+    pose = pose.at[0:3, 3].set(vol.global_translation)
+    camera = camera.set_pose(jnp.linalg.inv(pose))
+
+    model_depth = render_to_depth_image(
+        vol, camera, width=args.width, height=args.height
+    )
+    res = get_incremental_transformation(
+        jnp.asarray(depth),
+        model_depth,
+        args.fx, args.fy, args.cx, args.cy,
+    )
+    np.set_printoptions(suppress=True, precision=5)
+    print("incremental transformation (T_prev_curr):")
+    print(np.asarray(res.pose))
+    print(
+        f"lastError={float(res.error):.3f}mm "
+        f"lastInliers={int(res.inliers)}"
+    )
+
+
+def cmd_sfusion(args):
+    from .io.mock_kinect import MockKinect
+    from .io.sceneflow import PDSFMockSceneFlow, SRSFMockSceneFlow
+    from .pipelines.scenefusion import SceneFusion, SceneFusionConfig
+
+    sfa_cls = (
+        SRSFMockSceneFlow if args.flow_format == "srsf" else PDSFMockSceneFlow
+    )
+    sfa = sfa_cls(args.flow_dir)
+    if not sfa.init():
+        print(f"no scene-flow files found in {args.flow_dir}", file=sys.stderr)
+        return 1
+    device = MockKinect(args.rgbd_dir)
+    device.initialise()
+    cfg = SceneFusionConfig(
+        volume_size=(args.size,) * 3,
+        physical_size_mm=args.physical,
+        offset_mm=(-args.physical / 2, -args.physical / 2, 0.0),
+    )
+    sf = SceneFusion(sfa, device, cfg, camera=_make_camera(args))
+    device.start()
+    print(f"processed {sf.frame_index} frames")
+    if args.mesh:
+        from .io.ply import write_ply
+        from .ops.marching_cubes import soup_to_numpy
+
+        soup = sf.extract_mesh()
+        verts, tris = soup_to_numpy(soup)
+        write_ply(args.mesh, verts, tris)
+        print(f"wrote {args.mesh} ({len(verts)} vertices)")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="tsdf_tpu", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("fuse", help="fuse TUM depth frames into a volume")
+    p.add_argument("-d", "--dir", required=True, help="TUM dataset dir")
+    p.add_argument("-m", "--frames", type=int, default=0, help="frame count")
+    p.add_argument("-s", "--size", type=int, default=200)  # ref: kinfu.cpp:23
+    p.add_argument("--physical", type=float, default=3000.0)
+    p.add_argument("--track", action="store_true", help="ICP tracking")
+    p.add_argument("--filter", action="store_true", help="bilateral prefilter")
+    p.add_argument("--pallas", action="store_true", help="TPU Pallas kernels")
+    p.add_argument("-o", "--out", help="output .tsdf")
+    p.add_argument("--scene", default="scene.png")
+    p.add_argument("--normals", default="normals.png")
+    p.add_argument("--mesh", default="mesh.ply")
+    p.add_argument("--max-cubes", type=int, default=1 << 18)
+    p.add_argument("--max-vertices", type=int, default=1 << 20)
+    _add_camera_args(p)
+    p.set_defaults(fn=cmd_fuse)
+
+    p = sub.add_parser("render", help="raycast a .tsdf to images")
+    p.add_argument("-f", "--file", required=True)
+    p.add_argument("--scene", default="scene.png")
+    p.add_argument("--normals", default="normals.png")
+    p.add_argument("--look-from", help="x,y,z mm")
+    p.add_argument("--look-at", help="x,y,z mm")
+    _add_camera_args(p)
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("mesh", help="marching cubes a .tsdf to PLY")
+    p.add_argument("-f", "--file", required=True)
+    p.add_argument("-o", "--out", default="mesh.ply")
+    p.add_argument("--max-cubes", type=int, default=1 << 18)
+    p.add_argument("--max-vertices", type=int, default=1 << 20)
+    p.set_defaults(fn=cmd_mesh)
+
+    p = sub.add_parser("view", help="slice heat-maps of a .tsdf")
+    p.add_argument("-f", "--file", required=True)
+    p.add_argument("-o", "--out-dir", default="tsdf_view")
+    p.set_defaults(fn=cmd_view)
+
+    p = sub.add_parser("icp", help="pose of a depth frame vs a .tsdf")
+    p.add_argument("-v", "--volume", required=True)
+    p.add_argument("-d", "--depth", required=True)
+    p.add_argument("--depth-scale", type=float, default=1.0)
+    _add_camera_args(p)
+    p.set_defaults(fn=cmd_icp)
+
+    p = sub.add_parser("sfusion", help="non-rigid fusion (SceneFusion)")
+    p.add_argument("rgbd_dir")
+    p.add_argument("flow_dir")
+    p.add_argument("--flow-format", choices=("pdflow", "srsf"),
+                   default="pdflow")
+    p.add_argument("-s", "--size", type=int, default=255)
+    p.add_argument("--physical", type=float, default=2550.0)
+    p.add_argument("--mesh", default="mesh.ply")
+    _add_camera_args(p)
+    p.set_defaults(fn=cmd_sfusion)
+
+    args = parser.parse_args(argv)
+    return args.fn(args) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
