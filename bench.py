@@ -43,10 +43,17 @@ def _bench(fn, *args, iters=10, warmup=2):
 
 def main():
     import jax
+
+    # Compiles route through a remote service here and can take minutes
+    # cold; the persistent cache makes bench reruns cheap.
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     import jax.numpy as jnp
 
-    from tsdf_tpu import Camera, make_volume, raycast
+    from tsdf_tpu import Camera, make_volume
     from tsdf_tpu.kernels import integrate_pallas
+    from tsdf_tpu.kernels.raycast import raycast_pallas
     from tsdf_tpu.utils import fixtures
 
     grid = int(os.environ.get("BENCH_GRID", "512"))
@@ -88,10 +95,10 @@ def main():
     )
 
     def ray_fn(v, c):
-        verts, normals = raycast(v, c, width=width, height=height)
+        verts, normals = raycast_pallas(v, c, width=width, height=height)
         return verts
 
-    dt_ray = _bench(jax.jit(ray_fn), vol2, cam2)
+    dt_ray = _bench(ray_fn, vol2, cam2)
     rays_per_s = width * height / dt_ray
 
     baseline = None

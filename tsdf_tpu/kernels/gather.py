@@ -12,8 +12,12 @@ Everything here operates on *values* inside a Pallas kernel body.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 
@@ -67,6 +71,62 @@ def lane_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
             acc = jnp.where(valid, g, acc)
         outs.append(acc)
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
+def _lane_gather_kernel(table_ref, idx_ref, out_ref):
+    out_ref[...] = lane_gather(table_ref[...], idx_ref[...])
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def lane_gather_op(
+    table: jnp.ndarray, idx: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Standalone op: out[s, c] = table[s, idx[s, c]], any shapes.
+
+    The one Pallas primitive the gather-heavy pipelines are built from
+    (slab-sweep raycast, warped integrate): XLA does transposes,
+    index math and state updates natively well — per-element gathers are
+    the single thing it cannot do, so only that lives in a kernel.
+    Monolithic stateful kernels (sequential grids / fori+DMA sweeps)
+    compile pathologically on current Mosaic; this op keeps every
+    pallas_call tiny, stateless and compiled once per shape.
+
+    Out-of-range indices return 0.
+    """
+    s, w = table.shape
+    s2, c = idx.shape
+    assert s == s2, (table.shape, idx.shape)
+    sp = -(-s // 8) * 8
+    wp = -(-w // LANE) * LANE
+    cp = -(-c // LANE) * LANE
+    tp = (
+        jnp.pad(table, ((0, sp - s), (0, wp - w)))
+        if (sp, wp) != (s, w)
+        else table
+    )
+    # clamp pad-region behaviour: pad idx with w (out of range -> 0)
+    ip = (
+        jnp.pad(idx, ((0, sp - s), (0, cp - c)), constant_values=wp)
+        if (sp, cp) != (s, c)
+        else idx
+    )
+    bs = 256
+    while sp % bs:
+        bs //= 2
+    out = pl.pallas_call(
+        _lane_gather_kernel,
+        grid=(sp // bs,),
+        out_shape=jax.ShapeDtypeStruct((sp, cp), table.dtype),
+        in_specs=[
+            pl.BlockSpec((bs, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, cp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bs, cp), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(tp, ip)
+    return out[:s, :c]
 
 
 def row_gather(table: jnp.ndarray, rowidx: jnp.ndarray) -> jnp.ndarray:
