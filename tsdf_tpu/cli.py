@@ -272,6 +272,16 @@ def cmd_sfusion(args):
         print(f"wrote {args.mesh} ({len(verts)} vertices)")
 
 
+def cmd_convert(args):
+    from .io.convert import freenect2png, pgm2png
+
+    if args.kind == "freenect2png":
+        freenect2png(args.input, args.output)
+    else:
+        pgm2png(args.input, args.output)
+    print(f"wrote {args.output}")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="tsdf_tpu", description=__doc__,
@@ -334,6 +344,12 @@ def main(argv=None):
     p.add_argument("--mesh", default="mesh.ply")
     _add_camera_args(p)
     p.set_defaults(fn=cmd_sfusion)
+
+    p = sub.add_parser("convert", help="format converters")
+    p.add_argument("kind", choices=("freenect2png", "pgm2png"))
+    p.add_argument("input")
+    p.add_argument("output")
+    p.set_defaults(fn=cmd_convert)
 
     args = parser.parse_args(argv)
     return args.fn(args) or 0
