@@ -1,0 +1,64 @@
+"""Halo exchange + sharded ICP reductions on the 8-CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tsdf_tpu.parallel import make_mesh
+from tsdf_tpu.parallel.halo import halo_exchange_z
+from tsdf_tpu.parallel.mesh import volume_sharding
+from tsdf_tpu.parallel.ops import icp_step_sharded
+from tsdf_tpu.tracking.icp import icp_step, normal_map, vertex_map
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8
+    return make_mesh(n_bricks=4, n_rays=2)
+
+
+def test_halo_exchange_matches_neighbours(mesh):
+    Z, Y, X = 16, 8, 8
+    x = jnp.arange(Z * Y * X, dtype=jnp.float32).reshape(Z, Y, X)
+    xs = jax.device_put(x, volume_sharding(mesh))
+    out = np.asarray(halo_exchange_z(xs, mesh, halo=1))
+    nb = 4
+    zl = Z // nb
+    xnp = np.asarray(x)
+    for b in range(nb):
+        blk = out[b * (zl + 2) : (b + 1) * (zl + 2)]
+        # own slabs in the middle
+        np.testing.assert_array_equal(blk[1:-1], xnp[b * zl : (b + 1) * zl])
+        # halo from prev (or replicated edge at the bottom brick)
+        prev = xnp[b * zl - 1] if b > 0 else xnp[0]
+        np.testing.assert_array_equal(blk[0], prev)
+        nxt = xnp[(b + 1) * zl] if b < nb - 1 else xnp[Z - 1]
+        np.testing.assert_array_equal(blk[-1], nxt)
+
+
+def test_icp_step_sharded_matches_single(mesh):
+    rng = np.random.RandomState(0)
+    H, W = 48, 64
+    fx, fy, cx, cy = 60.0, 60.0, 32.0, 24.0
+    depth_prev = 800.0 + rng.rand(H, W).astype(np.float32) * 200.0
+    depth_curr = depth_prev + rng.randn(H, W).astype(np.float32) * 2.0
+
+    vp = vertex_map(jnp.asarray(depth_prev), fx, fy, cx, cy)
+    np_ = normal_map(vp)
+    vc = vertex_map(jnp.asarray(depth_curr), fx, fy, cx, cy)
+    nc = normal_map(vc)
+
+    rot = jnp.eye(3, dtype=jnp.float32)
+    trans = jnp.zeros(3, jnp.float32)
+
+    a0, b0, r0, i0 = icp_step(rot, trans, vc, nc, vp, np_, fx, fy, cx, cy)
+    a1, b1, r1, i1 = icp_step_sharded(
+        rot, trans, vc, nc, vp, np_, (fx, fy, cx, cy), mesh
+    )
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(b1), np.asarray(b0), rtol=1e-5, atol=1e-2
+    )
+    assert float(i1) == float(i0)
+    np.testing.assert_allclose(float(r1), float(r0), rtol=1e-5)

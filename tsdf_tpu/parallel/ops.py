@@ -222,3 +222,51 @@ def raycast_sharded(
     verts = verts[: height * width].reshape(height, width, 3)
     normals = compute_normals_from_vertices(verts)
     return verts, normals
+
+
+def icp_step_sharded(
+    rot: jnp.ndarray,
+    trans: jnp.ndarray,
+    vmap_curr: jnp.ndarray,
+    nmap_curr: jnp.ndarray,
+    vmap_prev: jnp.ndarray,
+    nmap_prev: jnp.ndarray,
+    intrinsics: tuple,
+    mesh: Mesh,
+    dist_thresh: float = 100.0,
+    angle_thresh: float = 0.342,
+):
+    """ICP normal equations with the residual reduction psum'd over the
+    mesh — the TPU-native replacement for estimate.cu's 29-vector
+    warp-shuffle reduction tree (ref: estimate.cu:26-85, 264-281).
+
+    Current-frame pixel rows are sharded over every device; the model
+    (previous) maps are replicated since projective association crosses
+    row boundaries. Requires H % n_devices == 0.
+    """
+    from ..tracking.icp import icp_step
+
+    fx, fy, cx, cy = intrinsics
+
+    def local(vc, nc, vp, np_, rot, trans):
+        a, b, res, inl = icp_step(
+            rot, trans, vc, nc, vp, np_, fx, fy, cx, cy,
+            dist_thresh, angle_thresh,
+        )
+        axes = ("b", "r")
+        return (
+            jax.lax.psum(a, axes),
+            jax.lax.psum(b, axes),
+            jax.lax.psum(res, axes),
+            jax.lax.psum(inl, axes),
+        )
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(("b", "r")), P(("b", "r")), P(), P(), P(), P(),
+        ),
+        out_specs=(P(), P(), P(), P()),
+    )
+    return fn(vmap_curr, nmap_curr, vmap_prev, nmap_prev, rot, trans)

@@ -154,8 +154,12 @@ def icp_step(
 
     Returns (A (6,6), b (6,), residual_sq_sum, inlier_count).
     ref: estimate.cu:143-214.
+
+    Image bounds and the correspondence lookup use ``vmap_prev``'s dims,
+    so ``vmap_curr`` may be a row shard of the frame while the model
+    maps stay whole (parallel/ops.py shards exactly this way).
     """
-    h, w, _ = vmap_curr.shape
+    h, w, _ = vmap_prev.shape
     v_curr = vmap_curr.reshape(-1, 3)
     n_curr = nmap_curr.reshape(-1, 3)
 
