@@ -70,6 +70,22 @@ class TUMDataLoader:
         return len(self.entries)
 
     def __iter__(self):
+        # Prefetch-decode frames ahead of the consumer with the native
+        # threaded loader when it is available (tsdf_tpu/native) — the
+        # host feeding pipeline overlaps device compute.
+        from .. import native
+
+        if len(self.entries) > 1 and native.available():
+            pf = native.PNGPrefetcher([p for p, _ in self.entries])
+            try:
+                for frame, (_, pose) in zip(pf, self.entries):
+                    yield (
+                        DepthImage(frame).scale_depth(0.2),
+                        pose,
+                    )
+            finally:
+                pf.close()
+            return
         for depth_path, pose in self.entries:
             yield self._load(depth_path), pose
 
