@@ -152,3 +152,33 @@ def test_scenefusion_orchestrator(tmp_path):
     assert float(jnp.sum(sf.volume.weight)) > 0
     soup = sf.extract_mesh()
     assert int(soup.n_vertices) > 0
+
+
+def test_scenefusion_periodic_dumps(tmp_path):
+    vol, cam, depth = _sphere_setup()
+    d = np.asarray(depth)
+    data = tmp_path / "data"
+    data.mkdir()
+    for i in range(2):
+        save_png(data / f"depth_{i:05d}.png", d.astype(np.uint16))
+    _write_pdflow(data / "sflow_00000_results01.txt", H, W, (5.0, 0, 0))
+    _write_pdflow(data / "sflow_00001_results01.txt", H, W, (5.0, 0, 0))
+    sfa = PDSFMockSceneFlow(str(data))
+    sfa.init()
+    dev = MockKinect(str(data))
+    dev.initialise()
+    cfg = SceneFusionConfig(
+        volume_size=(48, 48, 48),
+        physical_size_mm=1500.0,
+        offset_mm=(-750.0, -750.0, 0.0),
+        max_cubes=1 << 14,
+        max_vertices=1 << 16,
+    )
+    out = tmp_path / "dumps"
+    sf = SceneFusion(
+        sfa, dev, cfg, camera=cam, dump_every=1, dump_dir=str(out)
+    )
+    dev.start()
+    assert (out / "frame_000.tsdf").exists()
+    assert (out / "mesh_canonical_001.ply").exists()
+    assert (out / "mesh_warped_001.ply").exists()

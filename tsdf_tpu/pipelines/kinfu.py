@@ -45,6 +45,17 @@ class FusionConfig:
         )
 
 
+def _render_depth_pallas(vol, camera, width, height):
+    from ..kernels.raycast import raycast_pallas
+
+    verts, _normals = raycast_pallas(vol, camera, width, height)
+    cam = camera.world_to_camera(
+        jnp.where(jnp.isfinite(verts), verts, 0.0).reshape(-1, 3)
+    ).reshape(height, width, 3)
+    z = jnp.where(jnp.isfinite(verts).all(-1), cam[..., 2], 0.0)
+    return jnp.clip(jnp.round(z), 0, 65535).astype(jnp.uint16)
+
+
 def _integrate(vol, depth, camera, config: FusionConfig):
     if config.use_pallas and vol.deform is None:
         from ..kernels.integrate import integrate_pallas
@@ -114,9 +125,14 @@ def track_and_fuse_frames(
                 depth, config.sigma_colour, config.sigma_space
             )
         if not first:
-            model_depth = render_to_depth_image(
-                vol, camera, width=config.width, height=config.height
-            )
+            if config.use_pallas:
+                model_depth = _render_depth_pallas(
+                    vol, camera, config.width, config.height
+                )
+            else:
+                model_depth = render_to_depth_image(
+                    vol, camera, width=config.width, height=config.height
+                )
             res = get_incremental_transformation(
                 depth, model_depth, fx, fy, cx, cy
             )

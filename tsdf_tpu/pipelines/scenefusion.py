@@ -135,6 +135,8 @@ class SceneFusion:
         device,
         config: SceneFusionConfig = SceneFusionConfig(),
         camera: Optional[Camera] = None,
+        dump_every: int = 0,
+        dump_dir: str = ".",
     ):
         self.config = config
         self.sfa = scene_flow_provider
@@ -143,6 +145,8 @@ class SceneFusion:
         self.volume = config.make_volume()
         self.last_depth = None
         self.frame_index = 0
+        self.dump_every = dump_every
+        self.dump_dir = dump_dir
         device.add_observer(self.process_frames)
 
     def process_frames(self, depth, colour=None):
@@ -166,7 +170,40 @@ class SceneFusion:
             )
         self.volume = integrate(self.volume, depth, self.camera)
         self.last_depth = depth
+        if self.dump_every and self.frame_index % self.dump_every == 0:
+            self.dump(self.frame_index)
         self.frame_index += 1
+
+    def dump(self, index: int) -> None:
+        """Periodic checkpoint + canonical and warped meshes
+        (ref: SceneFusion.cpp:142-181)."""
+        import os
+
+        import numpy as np
+
+        from ..io.ply import write_ply
+        from ..io.tsdf_file import save_tsdf
+        from ..ops.deform import deform_points
+        from ..ops.marching_cubes import soup_to_numpy
+
+        os.makedirs(self.dump_dir, exist_ok=True)
+        save_tsdf(
+            self.volume,
+            os.path.join(self.dump_dir, f"frame_{index:03d}.tsdf"),
+        )
+        soup = self.extract_mesh()
+        verts, tris = soup_to_numpy(soup)
+        write_ply(
+            os.path.join(self.dump_dir, f"mesh_canonical_{index:03d}.ply"),
+            verts,
+            tris,
+        )
+        warped, _valid = deform_points(self.volume, jnp.asarray(verts))
+        write_ply(
+            os.path.join(self.dump_dir, f"mesh_warped_{index:03d}.ply"),
+            np.asarray(warped),
+            tris,
+        )
 
     def extract_mesh(self) -> TriangleSoup:
         return extract_surface(
