@@ -215,6 +215,7 @@ def icp_step(
     return A, b, res_sq, inliers
 
 
+@partial(jax.jit, static_argnames=("levels", "iterations"))
 def get_incremental_transformation(
     depth_curr: jnp.ndarray,
     depth_prev: jnp.ndarray,
