@@ -62,3 +62,33 @@ def test_icp_step_sharded_matches_single(mesh):
     )
     assert float(i1) == float(i0)
     np.testing.assert_allclose(float(r1), float(r0), rtol=1e-5)
+
+
+def test_extract_surface_sharded_matches_single(mesh):
+    from tsdf_tpu import make_volume
+    from tsdf_tpu.ops.marching_cubes import extract_surface, soup_to_numpy
+    from tsdf_tpu.parallel.ops import (
+        extract_surface_sharded,
+        merge_brick_soups,
+        shard_volume,
+    )
+    from tsdf_tpu.utils import fixtures
+
+    vol = make_volume((32, 32, 32), 1000.0, offset=(-500.0, -500.0, -500.0))
+    vol = fixtures.sphere_tsdf(vol, 300.0, centre=(0.0, 0.0, 0.0))
+
+    ref_soup = extract_surface(vol, max_cubes=1 << 14, max_vertices=1 << 16)
+    ref_verts, _ = soup_to_numpy(ref_soup)
+
+    svol = shard_volume(vol, mesh)
+    bricks = extract_surface_sharded(
+        svol, mesh, max_cubes_per_brick=1 << 12,
+        max_vertices_per_brick=1 << 14,
+    )
+    verts, tris = merge_brick_soups(bricks)
+
+    assert len(verts) == len(ref_verts)
+    # same vertex multiset (brick order differs)
+    a = np.sort(np.round(ref_verts, 3).view([("x", "f4"), ("y", "f4"), ("z", "f4")]), axis=0)
+    b = np.sort(np.round(verts, 3).view([("x", "f4"), ("y", "f4"), ("z", "f4")]), axis=0)
+    np.testing.assert_array_equal(a, b)

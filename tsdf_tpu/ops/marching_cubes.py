@@ -69,7 +69,33 @@ def extract_surface(
     Returns:
       TriangleSoup. If ``overflowed`` is set, re-run with larger caps.
     """
-    d = vol.tsdf
+    return _extract_arrays(
+        vol.tsdf,
+        vol.voxel_size,
+        vol.offset,
+        max_cubes=max_cubes,
+        max_vertices=max_vertices,
+    )
+
+
+def _extract_arrays(
+    d: jnp.ndarray,
+    voxel_size: jnp.ndarray,
+    offset: jnp.ndarray,
+    max_cubes: int,
+    max_vertices: int,
+    n_cube_z=None,
+    voxel_index_base=None,
+) -> TriangleSoup:
+    """Core extraction over raw arrays.
+
+    Args:
+      n_cube_z: number of valid cube z-rows (traced ok); cubes at or
+        beyond it are masked out. Defaults to Z-1. Used by the sharded
+        path where a brick's halo row must not emit duplicates.
+      voxel_index_base: added to emitted flat voxel indices (sharded
+        path: convert brick-local to global indices).
+    """
     Z, Y, X = d.shape
     inside = d < 0.0
 
@@ -85,6 +111,11 @@ def extract_surface(
 
     vert_counts = jnp.asarray(VERT_COUNTS, jnp.int32)[cube_type]
     occupied = vert_counts > 0
+    if n_cube_z is not None:
+        zrow = (
+            jnp.arange(cz * cy * cx, dtype=jnp.int32) // (cy * cx)
+        )
+        occupied = occupied & (zrow < n_cube_z)
 
     # --- phase 2: compact occupied cubes on-device -------------------------
     occ_rank = jnp.cumsum(occupied.astype(jnp.int32)) - 1
@@ -115,8 +146,7 @@ def extract_surface(
     cub_y = rem // cx
     cub_x = rem - cub_y * cx
 
-    vs = vol.voxel_size
-    offset = vol.offset
+    vs = voxel_size
     flat_d = d.ravel()
 
     def corner_data(k):
@@ -158,6 +188,8 @@ def extract_surface(
     edge_vox = jnp.stack(
         [lins[:, ec[:, 0]], lins[:, ec[:, 1]]], axis=-1
     )  # (max_cubes, 12, 2)
+    if voxel_index_base is not None:
+        edge_vox = edge_vox + voxel_index_base
 
     # triangulation lookup + scatter to offsets
     types = cube_type[cid]  # (max_cubes,)

@@ -270,3 +270,88 @@ def icp_step_sharded(
         out_specs=(P(), P(), P(), P()),
     )
     return fn(vmap_curr, nmap_curr, vmap_prev, nmap_prev, rot, trans)
+
+
+def extract_surface_sharded(
+    vol: TSDFVolume,
+    mesh: Mesh,
+    max_cubes_per_brick: int = 1 << 16,
+    max_vertices_per_brick: int = 1 << 18,
+):
+    """Brick-parallel marching cubes.
+
+    Each brick extracts the cubes whose base voxel it owns, reading its
+    +z neighbour's first slab via halo exchange (the reference needs a
+    host-side scan between its two kernels, SURVEY.md §2.3; here the
+    whole thing stays on device and parallel over bricks).
+
+    Returns a TriangleSoup-like tuple of stacked per-brick buffers:
+      vertices:      (nb, max_vertices_per_brick, 3) world mm
+      vertex_voxels: (nb, max_vertices_per_brick, 2) GLOBAL voxel indices
+      n_vertices:    (nb,)
+      overflowed:    (nb,)
+    Merge on host with ``merge_brick_soups``.
+    """
+    from ..ops.marching_cubes import _extract_arrays
+    from .halo import halo_exchange_z
+
+    nb = mesh.shape["b"]
+    Z, Y, X = vol.tsdf.shape
+    zl = Z // nb
+    ext = halo_exchange_z(vol.tsdf, mesh, halo=1)  # (Z + 2nb, Y, X)
+
+    def local(ext_block, physical_size, offset, voxel_size):
+        bi = jax.lax.axis_index("b")
+        # block = [prev halo | own zl slabs | next halo]; cubes rooted in
+        # own slabs need slabs [1 .. zl+1] of the block
+        tsdf_loc = ext_block[1:]
+        z0 = bi * zl
+        local_offset = offset + jnp.array(
+            [0.0, 0.0, 1.0], jnp.float32
+        ) * (z0.astype(jnp.float32) * voxel_size[2])
+        # last brick owns one fewer cube row (no z+1 neighbour)
+        n_cube_z = jnp.where(bi == nb - 1, zl - 1, zl)
+        soup = _extract_arrays(
+            tsdf_loc,
+            voxel_size,
+            local_offset,
+            max_cubes=max_cubes_per_brick,
+            max_vertices=max_vertices_per_brick,
+            n_cube_z=n_cube_z,
+            voxel_index_base=z0 * (Y * X),
+        )
+        return (
+            soup.vertices[None],
+            soup.vertex_voxels[None],
+            soup.n_vertices[None],
+            soup.overflowed[None],
+        )
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("b"), P(), P(), P()),
+        out_specs=(P("b"), P("b"), P("b"), P("b")),
+    )
+    return fn(ext, vol.physical_size, vol.offset, vol.voxel_size)
+
+
+def merge_brick_soups(brick_soups):
+    """Host-side: concatenate per-brick triangle soups into
+    (verts (n, 3), tris (n/3, 3)) numpy arrays."""
+    import numpy as np
+
+    verts_b, _voxels_b, n_b, overflow_b = brick_soups
+    if bool(np.asarray(overflow_b).any()):
+        raise ValueError(
+            "a brick overflowed; raise max_cubes/max_vertices_per_brick"
+        )
+    parts = []
+    for b in range(np.asarray(verts_b).shape[0]):
+        n = int(np.asarray(n_b)[b])
+        parts.append(np.asarray(verts_b)[b, :n])
+    verts = np.concatenate(parts, axis=0)
+    n = len(verts) - len(verts) % 3
+    verts = verts[:n]
+    tris = np.arange(n, dtype=np.int32).reshape(-1, 3)
+    return verts, tris
