@@ -47,13 +47,21 @@ def _add_camera_args(p):
 def _render_outputs(vol, camera, args):
     import jax.numpy as jnp
 
-    from .ops.raycast import raycast
     from .ops.shading import normals_image, scene_image
     from .io.png import save_png
 
-    verts, normals = raycast(
-        vol, camera, width=args.width, height=args.height
-    )
+    if getattr(args, "pallas", False):
+        from .kernels.raycast import raycast_pallas
+
+        verts, normals = raycast_pallas(
+            vol, camera, args.width, args.height
+        )
+    else:
+        from .ops.raycast import raycast
+
+        verts, normals = raycast(
+            vol, camera, width=args.width, height=args.height
+        )
     if args.scene:
         img = scene_image(verts, normals, camera.position)
         save_png(args.scene, np.asarray(img))
@@ -312,6 +320,7 @@ def main(argv=None):
     p.add_argument("--normals", default="normals.png")
     p.add_argument("--look-from", help="x,y,z mm")
     p.add_argument("--look-at", help="x,y,z mm")
+    p.add_argument("--pallas", action="store_true", help="TPU slab-sweep")
     _add_camera_args(p)
     p.set_defaults(fn=cmd_render)
 

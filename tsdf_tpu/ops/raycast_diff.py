@@ -34,7 +34,7 @@ from .trilinear import trilinear_sample
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "mode", "max_steps"),
+    static_argnames=("width", "height", "mode", "max_steps", "use_pallas"),
 )
 def raycast_diff(
     vol: TSDFVolume,
@@ -44,8 +44,16 @@ def raycast_diff(
     mode: str = "sphere",
     max_steps: int = REFERENCE_MAX_STEPS,
     step_scale: float = 0.75,
+    use_pallas: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Differentiable raycast.
+
+    Args:
+      use_pallas: run the (non-differentiable) forward march with the
+        slab-sweep kernel — the gradients come entirely from the
+        correction step, so the Pallas march changes only where t0 lands
+        (sub-voxel vs the lax march). Makes 512^3 differentiable
+        rendering practical on TPU.
 
     Returns:
       vertices: (H, W, 3) world-mm hit points (NaN on miss),
@@ -55,15 +63,23 @@ def raycast_diff(
     # Non-differentiable march for the hit parameter.
     frozen_vol = jax.lax.stop_gradient(vol)
     frozen_cam = jax.lax.stop_gradient(camera)
-    dirs_frozen = ray_directions(frozen_cam, width, height).reshape(-1, 3)
-    verts0 = march_rays(
-        frozen_vol,
-        frozen_cam.position,
-        dirs_frozen,
-        mode=mode,
-        max_steps=max_steps,
-        step_scale=step_scale,
-    )
+    if use_pallas:
+        from ..kernels.raycast import raycast_pallas
+
+        verts_img, _ = raycast_pallas(frozen_vol, frozen_cam, width, height)
+        verts0 = verts_img.reshape(-1, 3)
+    else:
+        dirs_frozen = ray_directions(frozen_cam, width, height).reshape(
+            -1, 3
+        )
+        verts0 = march_rays(
+            frozen_vol,
+            frozen_cam.position,
+            dirs_frozen,
+            mode=mode,
+            max_steps=max_steps,
+            step_scale=step_scale,
+        )
     hit_mask = jnp.isfinite(verts0).all(axis=-1)
     origin_f = frozen_cam.position
     t0 = jnp.where(
