@@ -95,3 +95,20 @@ def test_maps_shapes():
     nm = normal_map(vm)
     assert vm.shape == (H // 2, W // 2, 3)
     assert nm.shape == vm.shape
+
+
+def test_banded_matches_exact():
+    """Banded correspondence lookup == exact path on small motion."""
+    delta = jnp.eye(4).at[0:3, 3].set(jnp.array([15.0, -10.0, 8.0]))
+    cam_prev, cam_curr, d_prev, d_curr = _scene_depths(delta)
+    exact = get_incremental_transformation(d_curr, d_prev, FX, FY, CX, CY)
+    banded = get_incremental_transformation(
+        d_curr, d_prev, FX, FY, CX, CY, band=32
+    )
+    np.testing.assert_allclose(
+        np.asarray(banded.pose), np.asarray(exact.pose), atol=0.5
+    )
+    # inlier counts close (band drops only border/outlier pixels)
+    assert abs(float(banded.inliers) - float(exact.inliers)) < 0.05 * float(
+        exact.inliers
+    )

@@ -38,6 +38,7 @@ class FusionConfig:
     width: int = 640
     height: int = 480
     use_pallas: bool = False  # Pallas kernels (TPU); lax path otherwise
+    icp_band: int = 32  # banded ICP lookup when use_pallas (0 = exact)
 
     def make_volume(self) -> TSDFVolume:
         return make_volume(
@@ -133,8 +134,13 @@ def track_and_fuse_frames(
                 model_depth = render_to_depth_image(
                     vol, camera, width=config.width, height=config.height
                 )
+            band = (
+                config.icp_band
+                if (config.use_pallas and config.icp_band > 0)
+                else None
+            )
             res = get_incremental_transformation(
-                depth, model_depth, fx, fy, cx, cy
+                depth, model_depth, fx, fy, cx, cy, band=band
             )
             # res.pose maps current-cam -> previous-cam coords;
             # new camera->world = prev pose o T_prev_curr

@@ -215,7 +215,114 @@ def icp_step(
     return A, b, res_sq, inliers
 
 
-@partial(jax.jit, static_argnames=("levels", "iterations"))
+def icp_step_banded(
+    rot: jnp.ndarray,
+    trans: jnp.ndarray,
+    vmap_curr: jnp.ndarray,
+    nmap_curr: jnp.ndarray,
+    depth_prev: jnp.ndarray,
+    fx, fy, cx, cy,
+    band: int = 32,
+    dist_thresh: float = DIST_THRESH_MM,
+    angle_thresh: float = ANGLE_THRESH,
+    cutoff: float = DEPTH_CUTOFF_MM,
+):
+    """icp_step with a TPU-fast banded correspondence lookup.
+
+    The per-pixel model lookup is the one true 2D gather in the tracker;
+    XLA's TPU gather runs at ~0.11 G lookups/s, which made ICP dominate
+    the fusion loop. Here the lookup decomposes into 2*band+2 row-rolls
+    x exact-column lane gathers (kernels/gather.py) on the model DEPTH
+    image alone; v_prev/n_prev are reconstructed analytically from the
+    fetched depths (exactly the vertex_map/normal_map formulas), so only
+    one channel is gathered instead of six. Correspondences displaced
+    vertically by more than ``band`` pixels are dropped (they are
+    large-motion outliers; the pyramid's coarse levels absorb large
+    motion first).
+    """
+    from ..kernels.gather import lane_gather_any
+
+    h, w = depth_prev.shape
+    v_curr = vmap_curr.reshape(-1, 3)
+    n_curr = nmap_curr.reshape(-1, 3)
+
+    v_in_prev = v_curr @ rot.T + trans
+    n_in_prev = n_curr @ rot.T
+
+    pxf = v_in_prev[:, 0] * fx / v_in_prev[:, 2] + cx
+    pyf = v_in_prev[:, 1] * fy / v_in_prev[:, 2] + cy
+    pxf = jnp.where(jnp.isfinite(pxf), pxf, -1.0)
+    pyf = jnp.where(jnp.isfinite(pyf), pyf, -1.0)
+    px = jnp.round(jnp.clip(pxf, -1e6, 1e6)).astype(jnp.int32).reshape(h, w)
+    py = jnp.round(jnp.clip(pyf, -1e6, 1e6)).astype(jnp.int32).reshape(h, w)
+
+    in_img = (
+        (px >= 0) & (px < w - 1) & (py >= 0) & (py < h - 1)
+    )  # need (px+1, py+1) for the normal stencil
+    yy = jnp.arange(h, dtype=jnp.int32)[:, None]
+    dy = py - yy
+    found = in_img & (jnp.abs(dy) <= band)
+
+    px_s = jnp.clip(px, 0, w - 1)
+    d00 = jnp.zeros((h, w), jnp.float32)
+    d10 = jnp.zeros((h, w), jnp.float32)
+    d01 = jnp.zeros((h, w), jnp.float32)
+    dp = jnp.asarray(depth_prev, jnp.float32)
+    for k in range(-band, band + 2):
+        rolled = jnp.roll(dp, -k, axis=0)  # rolled[y] = dp[y + k]
+        c0 = lane_gather_any(rolled, px_s)
+        c1 = lane_gather_any(rolled, jnp.minimum(px_s + 1, w - 1))
+        d00 = jnp.where(dy == k, c0, d00)
+        d10 = jnp.where(dy == k, c1, d10)
+        d01 = jnp.where(dy == k - 1, c0, d01)
+
+    # reconstruct v_prev / n_prev from depths (vertex_map/normal_map math)
+    pxf2 = px.astype(jnp.float32)
+    pyf2 = py.astype(jnp.float32)
+
+    def backproj(d, a, b):
+        return jnp.stack(
+            [d * (a - cx) / fx, d * (b - cy) / fy, d], axis=-1
+        )
+
+    v00 = backproj(d00, pxf2, pyf2)
+    v10 = backproj(d10, pxf2 + 1.0, pyf2)
+    v01 = backproj(d01, pxf2, pyf2 + 1.0)
+    nrm = jnp.cross(v10 - v00, v01 - v00)
+    nn = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm = nrm / jnp.where(nn == 0, 1.0, nn)
+
+    dvalid = (
+        (d00 > 0) & (d00 < cutoff)
+        & (d10 > 0) & (d10 < cutoff)
+        & (d01 > 0) & (d01 < cutoff)
+    )
+    v_prev = v00.reshape(-1, 3)
+    n_prev = nrm.reshape(-1, 3)
+    ok = (found & dvalid).reshape(-1)
+
+    diff = v_prev - v_in_prev
+    dist_ok = jnp.linalg.norm(diff, axis=-1) < dist_thresh
+    angle_ok = (
+        jnp.linalg.norm(jnp.cross(n_in_prev, n_prev), axis=-1) < angle_thresh
+    )
+    finite = jnp.isfinite(v_curr[:, 2]) & jnp.isfinite(n_curr[:, 0])
+    mask = ok & dist_ok & angle_ok & finite
+
+    n_prev_s = jnp.where(mask[:, None], n_prev, 0.0)
+    v_ip_s = jnp.where(mask[:, None], v_in_prev, 0.0)
+    r = jnp.where(mask, jnp.sum(n_prev * diff, axis=-1), 0.0)
+    r = jnp.where(jnp.isfinite(r), r, 0.0)
+    rows = jnp.concatenate(
+        [n_prev_s, jnp.cross(v_ip_s, n_prev_s)], axis=-1
+    )
+    rows = jnp.where(jnp.isfinite(rows), rows, 0.0)
+    A = rows.T @ rows
+    b = rows.T @ r
+    return A, b, jnp.sum(r * r), jnp.sum(mask.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("levels", "iterations", "band"))
 def get_incremental_transformation(
     depth_curr: jnp.ndarray,
     depth_prev: jnp.ndarray,
@@ -225,8 +332,13 @@ def get_incremental_transformation(
     iterations: tuple[int, ...] = (10, 5, 4),
     dist_thresh: float = DIST_THRESH_MM,
     angle_thresh: float = ANGLE_THRESH,
+    band: int | None = None,
 ) -> ICPResult:
     """Full coarse-to-fine ICP between two depth frames.
+
+    ``band``: use the banded TPU-fast correspondence lookup
+    (icp_step_banded) with this level-0 row band; None = the exact
+    reference path (icp_step).
 
     Returns T_prev_curr: maps current-camera points into the previous
     camera frame (ref: ICPOdometry::getIncrementalTransformation
@@ -254,10 +366,18 @@ def get_incremental_transformation(
     for lvl in range(levels - 1, -1, -1):
         vc, nc, vp, np_, lfx, lfy, lcx, lcy = maps[lvl]
         for _ in range(iterations[lvl]):
-            A, b, res_sq, inliers = icp_step(
-                pose[0:3, 0:3], pose[0:3, 3], vc, nc, vp, np_,
-                lfx, lfy, lcx, lcy, dist_thresh, angle_thresh,
-            )
+            if band is not None:
+                A, b, res_sq, inliers = icp_step_banded(
+                    pose[0:3, 0:3], pose[0:3, 3], vc, nc, pyr_p[lvl],
+                    lfx, lfy, lcx, lcy,
+                    band=max(band >> lvl, 8),
+                    dist_thresh=dist_thresh, angle_thresh=angle_thresh,
+                )
+            else:
+                A, b, res_sq, inliers = icp_step(
+                    pose[0:3, 0:3], pose[0:3, 3], vc, nc, vp, np_,
+                    lfx, lfy, lcx, lcy, dist_thresh, angle_thresh,
+                )
             # LDLT solve with mild damping for rank-deficient scenes
             A = A + 1e-6 * jnp.eye(6, dtype=jnp.float32)
             update = jnp.linalg.solve(A, b)  # (v, w), Sophus ordering
