@@ -180,17 +180,43 @@ def raycast_pallas(
         hit_z = jnp.where(
             new_hit, jnp.where(entry_hit, zk, z_cross), hit_z
         )
+        # a marching ray that left the (convex) volume can never re-enter
+        exited = prev_valid & jnp.logical_not(valid)
         state = jnp.where(
-            dead | new_hit | backface,
+            dead | new_hit | backface | exited,
             _S_DEAD,
             jnp.where(valid, _S_MARCH, _S_NOPREV),
         )
         prev_s = jnp.where(valid, s, prev_s)
         return prev_s, state, hit_z
 
+    # Early termination: a ray is finished when dead (hit / backface /
+    # exited the convex volume) or when it never intersects the AABB at
+    # all; front-heavy scenes then stop after a fraction of the Z sweep.
+    from ..ops.raycast import slab_near_far
+
+    dirs_flat = jnp.stack([d_x, d_y, d_z], axis=-1).reshape(-1, 3)
+    _n, _f, intersects = slab_near_far(
+        origin[None, :],
+        dirs_flat,
+        vol.offset[None, :],
+        (vol.offset + vol.physical_size)[None, :],
+    )
+    intersects = intersects.reshape(H, W)
+
     zeros = jnp.zeros((H, W), jnp.float32)
-    init = (zeros, zeros, jnp.full((H, W), _NO_HIT, jnp.float32))
-    _, _, hit_z = jax.lax.fori_loop(0, Z, body, init)
+    init = (0, (zeros, zeros, jnp.full((H, W), _NO_HIT, jnp.float32)))
+
+    def cond(state):
+        i, (_ps, st, _hz) = state
+        alive = intersects & (st != _S_DEAD)
+        return (i < Z) & jnp.any(alive)
+
+    def wbody(state):
+        i, carry = state
+        return i + 1, body(i, carry)
+
+    _, (_, _, hit_z) = jax.lax.while_loop(cond, wbody, init)
 
     # Recover t from the hit plane; drop wrong-direction rays (t < 0).
     t = (hit_z - o_z) / safe_dz
