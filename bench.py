@@ -101,6 +101,55 @@ def main():
     dt_ray = _bench(ray_fn, vol2, cam2)
     rays_per_s = width * height / dt_ray
 
+    # Full tracked KinectFusion loop (bilateral + banded ICP vs model
+    # render + integrate) at 256^3 — the BASELINE config-3 shape.
+    kinfu_ms = None
+    try:
+        from tsdf_tpu.pipelines import FusionConfig, track_and_fuse_frames
+
+        scene = fixtures.sphere_tsdf(
+            make_volume((256,) * 3, 3000.0, offset=(-1500.0, -1500.0, 0.0)),
+            600.0,
+        )
+        wall = fixtures.wall_tsdf(scene, 2500.0)
+        scene = scene.replace(
+            tsdf=jnp.minimum(scene.tsdf, wall.tsdf),
+            weight=jnp.ones_like(scene.weight),
+        )
+        cams = [
+            Camera.default_depth_camera()
+            .move_to([30.0 * t, -20.0 * t, -500.0])
+            .look_at([0.0, 0.0, 1500.0])
+            for t in (0.0, 0.25, 0.5, 0.75, 1.0)
+        ]
+
+        def depth_of(c):
+            verts, _ = raycast_pallas(scene, c, width, height)
+            camz = c.world_to_camera(
+                jnp.where(jnp.isfinite(verts), verts, 0.0).reshape(-1, 3)
+            ).reshape(height, width, 3)[..., 2]
+            return jnp.where(
+                jnp.isfinite(verts).all(-1), camz, 0.0
+            ).astype(jnp.float32)
+
+        frames = [depth_of(c) for c in cams]
+        _sync(frames[-1])
+        kvol = make_volume(
+            (256,) * 3, 3000.0, offset=(-1500.0, -1500.0, 0.0)
+        )
+        cfg = FusionConfig(
+            width=width, height=height, use_pallas=True,
+            use_bilateral_filter=True,
+        )
+        v2, *_ = track_and_fuse_frames(kvol, cams[0], frames[:2], cfg)
+        _sync(v2.weight)  # warm the compiles
+        t0 = time.perf_counter()
+        vfin, *_ = track_and_fuse_frames(kvol, cams[0], frames, cfg)
+        _sync(vfin.weight)
+        kinfu_ms = (time.perf_counter() - t0) / len(frames) * 1e3
+    except Exception:
+        kinfu_ms = None
+
     baseline = None
     if os.path.exists("BENCH_BASELINE.json"):
         try:
@@ -124,6 +173,7 @@ def main():
                     "integrate_ms": dt_int * 1e3,
                     "raycast_ms": dt_ray * 1e3,
                     "rays_per_s": rays_per_s,
+                    "kinfu_tracked_ms_256": kinfu_ms,
                     "grid": grid,
                     "device": str(jax.devices()[0]),
                 },
