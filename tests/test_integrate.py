@@ -129,3 +129,50 @@ def test_jit_and_grad_through_pose():
     g = jax.grad(loss)(jnp.float32(0.0))
     assert np.isfinite(float(g))
     assert float(g) != 0.0
+
+
+def test_color_fusion():
+    """Per-voxel colour running mean — the capability the reference
+    allocates but never writes (SURVEY.md §2.1)."""
+    import jax.numpy as jnp
+    from tsdf_tpu.utils import fixtures
+
+    vol = make_volume(
+        (32, 32, 32), 1000.0, offset=(-500.0, -500.0, 0.0), with_color=True
+    )
+    cam = (
+        Camera.default_depth_camera()
+        .move_to([0.0, 0.0, -300.0])
+        .look_at([0.0, 0.0, 500.0])
+    )
+    depth = jnp.asarray(fixtures.sphere_depth_map(640, 480, 120.0, 400.0, 800.0))
+    rgb = jnp.broadcast_to(
+        jnp.array([200, 80, 30], jnp.uint8), (480, 640, 3)
+    )
+    out = integrate(vol, depth, cam, rgb=rgb)
+    col = np.asarray(out.color)
+    painted = (col != 0).any(-1)
+    assert painted.sum() > 50
+    np.testing.assert_array_equal(
+        np.unique(col[painted], axis=0), [[200, 80, 30]]
+    )
+    # colour stays within the truncation band; tsdf/weight unchanged vs
+    # colourless integrate
+    ref = integrate(vol.replace(color=None), depth, cam)
+    np.testing.assert_array_equal(np.asarray(out.tsdf), np.asarray(ref.tsdf))
+    band = np.asarray(
+        (jnp.abs(out.tsdf) < out.truncation_distance) & (out.weight > 0)
+    )
+    assert not painted[~band].any()
+
+
+def test_color_requires_color_field():
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    vol = make_volume((8, 8, 8), 100.0)
+    cam = Camera.default_depth_camera()
+    with _pytest.raises(ValueError):
+        integrate(
+            vol, jnp.zeros((48, 64)), cam, rgb=jnp.zeros((48, 64, 3), jnp.uint8)
+        )

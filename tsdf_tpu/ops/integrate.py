@@ -41,6 +41,7 @@ def integrate(
     depth: jnp.ndarray,
     camera: Camera,
     cap_weight: bool = False,
+    rgb: jnp.ndarray | None = None,
 ) -> TSDFVolume:
     """Fuse one depth frame into the volume.
 
@@ -50,9 +51,16 @@ def integrate(
       camera: Camera with pose = camera->world.
       cap_weight: clamp the accumulated weight at vol.max_weight (the
         reference's intended-but-disabled behaviour, TSDFVolume.cu:378).
+      rgb: optional (H, W, 3) u8 colour frame. The reference allocates
+        and serializes per-voxel colour but no kernel ever writes it
+        (SURVEY.md §2.1); here the intended capability is real: voxels
+        within the truncation band of the observed surface fold the
+        pixel colour into the same running mean. Requires vol.color
+        (see TSDFVolume.with_color()).
 
     Returns:
-      Updated volume (same structure; only tsdf/weight change).
+      Updated volume (same structure; tsdf/weight and optionally color
+      change).
     """
     depth = jnp.asarray(depth)
     h, w = depth.shape
@@ -90,7 +98,26 @@ def integrate(
     if cap_weight:
         new_w = jnp.minimum(new_w, vol.max_weight)
 
+    new_color = vol.color
+    if rgb is not None:
+        if vol.color is None:
+            raise ValueError(
+                "colour frame given but the volume has no colour field; "
+                "use make_volume(with_color=True) / vol.with_color()"
+            )
+        rgb_f = jnp.asarray(rgb, jnp.float32).reshape(-1, 3)
+        surf_rgb = jnp.take(rgb_f, lin, axis=0)  # (Z, Y, X, 3)
+        # colour only within the truncation band (a free-space voxel
+        # should not take the colour of the surface behind it)
+        col_update = (update & (jnp.abs(sdf) < trunc))[..., None]
+        old = vol.color.astype(jnp.float32)
+        blended = (old * prior_w[..., None] + surf_rgb) / new_w[..., None]
+        new_color = jnp.clip(
+            jnp.round(jnp.where(col_update, blended, old)), 0, 255
+        ).astype(jnp.uint8)
+
     return vol.replace(
         tsdf=jnp.where(update, new_d, vol.tsdf),
         weight=jnp.where(update, new_w, vol.weight),
+        color=new_color,
     )
