@@ -77,3 +77,32 @@ def test_nonaligned_grid():
     both = hr & hp
     err = np.linalg.norm(np.asarray(vr)[both] - np.asarray(vp)[both], axis=-1)
     assert np.median(err) < 2.0
+
+
+def test_all_principal_view_axes():
+    """The sweep axis follows the camera: all six axis-aligned-ish views
+    agree with the lax reference."""
+    vol = make_volume((64, 48, 56), 2000.0, offset=(-1000.0, -1000.0, -1000.0))
+    vol = fixtures.sphere_tsdf(vol, 350.0, centre=(0.0, 0.0, 0.0))
+    views = [
+        [100.0, -50.0, -1600.0],
+        [0.0, 80.0, 1600.0],
+        [-1600.0, 50.0, 100.0],
+        [1600.0, -80.0, 0.0],
+        [100.0, -1600.0, 50.0],
+        [0.0, 1600.0, -100.0],
+    ]
+    for pos in views:
+        cam = (
+            Camera.from_intrinsics(147.775, 147.525, 82.75, 58.65)
+            .move_to(pos)
+            .look_at([0.0, 0.0, 0.0])
+        )
+        vr, _ = raycast(vol, cam, width=W, height=H)
+        vp, _ = raycast_pallas(vol, cam, width=W, height=H, interpret=True)
+        hr = np.isfinite(np.asarray(vr)).all(-1)
+        hp = np.isfinite(np.asarray(vp)).all(-1)
+        assert (hr == hp).mean() > 0.999, pos
+        b = hr & hp
+        e = np.linalg.norm(np.asarray(vr)[b] - np.asarray(vp)[b], axis=-1)
+        assert np.median(e) < 2.0, pos

@@ -60,27 +60,24 @@ _S_MARCH = 1.0
 _S_DEAD = 2.0
 
 
-@partial(
-    jax.jit,
-    static_argnames=("width", "height", "interpret"),
-)
-def raycast_pallas(
-    vol: TSDFVolume,
-    camera: Camera,
-    width: int = 640,
-    height: int = 480,
-    interpret: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Raycast with the slab-sweep pipeline (z sweep axis).
-
-    Returns (vertices, normals) with the same conventions as ops.raycast:
-    (H, W, 3) world-mm vertices (NaN on miss) and screen-space normals.
-    """
-    Z, Yr, Xr = vol.tsdf.shape
+def _sweep(
+    tsdf: jnp.ndarray,
+    m: jnp.ndarray,
+    origin: jnp.ndarray,
+    off: jnp.ndarray,
+    physical: jnp.ndarray,
+    vs: jnp.ndarray,
+    fwd_axis: jnp.ndarray,
+    width: int,
+    height: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    """One slab sweep along the array's axis 0; all quantities are in
+    this (possibly axis-permuted) frame. Returns (H, W, 3) vertices."""
+    Z, Yr, Xr = tsdf.shape
     H, W = height, width
 
     # Per-pixel ray fields.
-    m = camera.rotation @ camera.k_inv  # world dir = m @ (px, py, 1)
     xs = jnp.arange(W, dtype=jnp.float32)
     ys = jnp.arange(H, dtype=jnp.float32)
     px = jnp.broadcast_to(xs[None, :], (H, W))
@@ -92,18 +89,14 @@ def raycast_pallas(
     rx = d_x / safe_dz
     ry = d_y / safe_dz
 
-    origin = camera.position
     o_x, o_y, o_z = origin[0], origin[1], origin[2]
-    off = vol.offset
-    vs = vol.voxel_size
     cu = (o_x - off[0]) / vs[0] - 0.5
     cv = (o_y - off[1]) / vs[1] - 0.5
 
-    # Sweep ascending when the camera looks along +z (traced select).
-    reverse = camera.pose[2, 2] < 0.0
+    # Sweep ascending when the camera looks along +axis (traced select).
+    reverse = fwd_axis < 0.0
     sweep_sign = jnp.where(reverse, -1.0, 1.0)
 
-    tsdf = vol.tsdf
     uu_row = jnp.arange(Xr, dtype=jnp.float32)[None, :]  # (1, Xr)
 
     def body(i, carry):
@@ -199,8 +192,8 @@ def raycast_pallas(
     _n, _f, intersects = slab_near_far(
         origin[None, :],
         dirs_flat,
-        vol.offset[None, :],
-        (vol.offset + vol.physical_size)[None, :],
+        off[None, :],
+        (off + physical)[None, :],
     )
     intersects = intersects.reshape(H, W)
 
@@ -223,7 +216,68 @@ def raycast_pallas(
     hit = (hit_z > _NO_HIT / 2) & (t > 0.0)
     dirs = jnp.stack([d_x, d_y, d_z], axis=-1)
     verts = origin[None, None, :] + t[..., None] * dirs
-    verts = jnp.where(hit[..., None], verts, jnp.nan)
+    return jnp.where(hit[..., None], verts, jnp.nan)
+
+
+# Sweep-axis permutations: new coords = original[perm]; each is its own
+# inverse. Entry i sweeps along original axis ("z", "y", "x") resp.
+_AXIS_PERMS = ((0, 1, 2), (0, 2, 1), (2, 1, 0))
+_ARRAY_PERMS = ((0, 1, 2), (1, 0, 2), (2, 1, 0))  # for [z, y, x] arrays
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "interpret"),
+)
+def raycast_pallas(
+    vol: TSDFVolume,
+    camera: Camera,
+    width: int = 640,
+    height: int = 480,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Raycast with the slab-sweep pipeline.
+
+    The sweep axis is the volume axis most aligned with the camera's
+    forward direction (a `lax.switch` over the three permuted
+    geometries — the line parameterization needs pixel rows to be
+    well-conditioned against the sweep planes).
+
+    Returns (vertices, normals) with the same conventions as ops.raycast:
+    (H, W, 3) world-mm vertices (NaN on miss) and screen-space normals.
+    """
+    m = camera.rotation @ camera.k_inv  # world dir = m @ (px, py, 1)
+    origin = camera.position
+    fwd = camera.pose[0:3, 2]
+
+    def branch(axis_entry):
+        perm, aperm = axis_entry
+        p = jnp.asarray(perm)
+
+        def run():
+            tsdf_p = jnp.transpose(vol.tsdf, aperm)
+            verts_p = _sweep(
+                tsdf_p,
+                m[p, :],
+                origin[p],
+                vol.offset[p],
+                vol.physical_size[p],
+                vol.voxel_size[p],
+                fwd[perm[2]],
+                width,
+                height,
+                interpret,
+            )
+            return verts_p[..., p]  # un-permute components (self-inverse)
+
+        return run
+
+    # axis index: 0 -> sweep z, 1 -> sweep y, 2 -> sweep x
+    axis = jnp.argmax(jnp.abs(jnp.stack([fwd[2], fwd[1], fwd[0]])))
+    verts = jax.lax.switch(
+        axis,
+        [branch(e) for e in zip(_AXIS_PERMS, _ARRAY_PERMS)],
+    )
 
     from ..ops.raycast import compute_normals_from_vertices
 
