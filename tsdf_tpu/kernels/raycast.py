@@ -99,11 +99,19 @@ def _sweep(
 
     uu_row = jnp.arange(Xr, dtype=jnp.float32)[None, :]  # (1, Xr)
 
-    def body(i, carry):
-        prev_s, state, hit_z = carry
-        zi = jnp.where(reverse, Z - 1 - i, i)
+    # Batch K slabs per loop iteration: both gather passes operate on
+    # row-independent tables, so K slabs concatenate along rows into ONE
+    # lane-gather call each way — amortizing per-custom-call and loop
+    # overhead K-fold across the Z-step sweep.
+    K = min(4, Z)
+    n_iter = -(-Z // K)
+
+    def slab_fields(s_idx):
+        """Per-slab sampling of one sweep position (traced index)."""
+        zi = jnp.where(reverse, Z - 1 - s_idx, s_idx)
+        zi_c = jnp.clip(zi, 0, Z - 1)
         slab = jax.lax.dynamic_index_in_dim(
-            tsdf, zi, axis=0, keepdims=False
+            tsdf, zi_c, axis=0, keepdims=False
         )  # (Yr, Xr)
         zk = off[2] + (zi.astype(jnp.float32) + 0.5) * vs[2]
         su = (zk - o_z) / vs[0]
@@ -116,6 +124,7 @@ def _sweep(
             & (u_pix <= Xr - 1.0)
             & (v_pix >= 0.0)
             & (v_pix <= Yr - 1.0)
+            & (s_idx < Z)
         )
 
         # Row lines in slab space from the row's first/last pixels.
@@ -129,7 +138,6 @@ def _sweep(
         alpha = v0 - beta * u0
         valid = valid & ~degen
 
-        # pass A: i1[row, u] = lerp_v(slab[:, u]) at v*(row, u)
         vstar = alpha + beta * uu_row  # (H, Xr)
         vstar = jnp.clip(
             jnp.where(jnp.isfinite(vstar), vstar, 0.0), 0.0, Yr - 1.0
@@ -138,12 +146,7 @@ def _sweep(
         vf = vstar - vi
         vi0 = vi.astype(jnp.int32)
         vi1 = jnp.minimum(vi0 + 1, Yr - 1)
-        slab_t = slab.T  # (Xr, Yr)
-        g0 = lane_gather_op(slab_t, vi0.T, interpret=interpret).T
-        g1 = lane_gather_op(slab_t, vi1.T, interpret=interpret).T
-        i1 = (1.0 - vf) * g0 + vf * g1  # (H, Xr)
 
-        # pass B: s[row, px] = lerp_u(i1[row, :]) at u_pix
         u_s = jnp.clip(
             jnp.where(jnp.isfinite(u_pix), u_pix, 0.0), 0.0, Xr - 1.0
         )
@@ -151,11 +154,13 @@ def _sweep(
         uf = u_s - ui
         ui0 = ui.astype(jnp.int32)
         ui1 = jnp.minimum(ui0 + 1, Xr - 1)
-        s0 = lane_gather_op(i1, ui0, interpret=interpret)
-        s1 = lane_gather_op(i1, ui1, interpret=interpret)
-        s = (1.0 - uf) * s0 + uf * s1  # (H, W)
+        return dict(
+            slab_t=slab.T, zk=zk, valid=valid, vf=vf,
+            vi0=vi0, vi1=vi1, uf=uf, ui0=ui0, ui1=ui1,
+        )
 
-        # crossing detection
+    def crossing_update(carry, s, valid, zk):
+        prev_s, state, hit_z = carry
         prev_valid = state == _S_MARCH
         dead = state == _S_DEAD
         fvalid = valid & ~dead
@@ -183,6 +188,37 @@ def _sweep(
         prev_s = jnp.where(valid, s, prev_s)
         return prev_s, state, hit_z
 
+    def body(i, carry):
+        fields = [slab_fields(i * K + j) for j in range(K)]
+
+        # pass A for all K slabs in one gather per tap
+        tab_a = jnp.concatenate([f["slab_t"] for f in fields], axis=0)
+        idx_a0 = jnp.concatenate([f["vi0"].T for f in fields], axis=0)
+        idx_a1 = jnp.concatenate([f["vi1"].T for f in fields], axis=0)
+        g0 = lane_gather_op(tab_a, idx_a0, interpret=interpret)
+        g1 = lane_gather_op(tab_a, idx_a1, interpret=interpret)
+
+        i1s = []
+        for j, f in enumerate(fields):
+            sl = slice(j * Xr, (j + 1) * Xr)
+            i1s.append(
+                (1.0 - f["vf"]) * g0[sl].T + f["vf"] * g1[sl].T
+            )  # (H, Xr)
+
+        # pass B for all K slabs in one gather per tap
+        tab_b = jnp.concatenate(i1s, axis=0)  # (K*H, Xr)
+        idx_b0 = jnp.concatenate([f["ui0"] for f in fields], axis=0)
+        idx_b1 = jnp.concatenate([f["ui1"] for f in fields], axis=0)
+        s0 = lane_gather_op(tab_b, idx_b0, interpret=interpret)
+        s1 = lane_gather_op(tab_b, idx_b1, interpret=interpret)
+
+        # sequential crossing updates in sweep order
+        for j, f in enumerate(fields):
+            sl = slice(j * H, (j + 1) * H)
+            s = (1.0 - f["uf"]) * s0[sl] + f["uf"] * s1[sl]
+            carry = crossing_update(carry, s, f["valid"], f["zk"])
+        return carry
+
     # Early termination: a ray is finished when dead (hit / backface /
     # exited the convex volume) or when it never intersects the AABB at
     # all; front-heavy scenes then stop after a fraction of the Z sweep.
@@ -203,7 +239,7 @@ def _sweep(
     def cond(state):
         i, (_ps, st, _hz) = state
         alive = intersects & (st != _S_DEAD)
-        return (i < Z) & jnp.any(alive)
+        return (i < n_iter) & jnp.any(alive)
 
     def wbody(state):
         i, carry = state
