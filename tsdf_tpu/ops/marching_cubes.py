@@ -52,11 +52,11 @@ class TriangleSoup(NamedTuple):
     overflowed: jnp.ndarray  # () bool — buffers were too small
 
 
-@partial(jax.jit, static_argnames=("max_cubes", "max_vertices"))
 def extract_surface(
     vol: TSDFVolume,
     max_cubes: int = 1 << 18,
     max_vertices: int = 1 << 20,
+    on_cpu: bool | None = None,
 ) -> TriangleSoup:
     """Extract the zero isosurface as a triangle soup.
 
@@ -65,16 +65,37 @@ def extract_surface(
         MarkAndSweepMC.cu:110-124).
       max_cubes: static capacity for occupied cubes.
       max_vertices: static capacity for emitted vertices.
+      on_cpu: run the extraction on the host CPU backend. Default: auto
+        — True whenever the default backend is an accelerator, because
+        XLA:TPU's lowering of the compaction scatters/gathers here has
+        pathological compile times (mesh extraction is a cold path whose
+        output goes to host PLY writers anyway; the brick-sharded
+        on-device variant is parallel/ops.extract_surface_sharded).
 
     Returns:
       TriangleSoup. If ``overflowed`` is set, re-run with larger caps.
     """
+    if on_cpu is None:
+        on_cpu = jax.default_backend() != "cpu"
+    if on_cpu and jax.default_backend() != "cpu":
+        cpu = jax.devices("cpu")[0]
+        tsdf = jax.device_put(jax.device_get(vol.tsdf), cpu)
+        voxel_size = jax.device_put(jax.device_get(vol.voxel_size), cpu)
+        offset = jax.device_put(jax.device_get(vol.offset), cpu)
+        with jax.default_device(cpu):
+            return _extract_jit(
+                tsdf, voxel_size, offset, max_cubes, max_vertices
+            )
+    return _extract_jit(
+        vol.tsdf, vol.voxel_size, vol.offset, max_cubes, max_vertices
+    )
+
+
+@partial(jax.jit, static_argnames=("max_cubes", "max_vertices"))
+def _extract_jit(tsdf, voxel_size, offset, max_cubes, max_vertices):
     return _extract_arrays(
-        vol.tsdf,
-        vol.voxel_size,
-        vol.offset,
-        max_cubes=max_cubes,
-        max_vertices=max_vertices,
+        tsdf, voxel_size, offset,
+        max_cubes=max_cubes, max_vertices=max_vertices,
     )
 
 
