@@ -34,13 +34,22 @@ def test_tsdf_round_trip(tmp_path):
     assert back.size == vol.size
     assert np.allclose(np.asarray(back.tsdf), np.asarray(vol.tsdf))
     assert np.allclose(np.asarray(back.weight), np.asarray(vol.weight))
-    assert np.allclose(np.asarray(back.deform), np.asarray(vol.deform))
+    # an identity warp field is detected on load and dropped (it would
+    # cost 6x memory and demote integrate to the non-rigid path)
+    assert back.deform is None
     assert np.allclose(
         np.asarray(back.physical_size), np.asarray(vol.physical_size)
     )
     assert float(back.truncation_distance) == pytest.approx(
         float(vol.truncation_distance)
     )
+
+    # a real (non-identity) warp field round-trips
+    vol2 = vol.replace(deform=vol.deform + 7.0)
+    save_tsdf(vol2, path)
+    back2 = load_tsdf(str(path))
+    assert back2.deform is not None
+    assert np.allclose(np.asarray(back2.deform), np.asarray(vol2.deform))
 
 
 def test_tsdf_binary_layout(tmp_path):

@@ -121,6 +121,13 @@ def cmd_fuse(args):
         if first_pose is None:
             first_pose = pose
         frames.append((jnp.asarray(depth_img.data), jnp.asarray(pose)))
+    if not frames:
+        print(
+            f"no frames found in {args.dir} (check ground_truth.txt and "
+            "depth/<stamp>.png files)",
+            file=sys.stderr,
+        )
+        return 1
     print(f"fusing {len(frames)} frames at {args.size}^3 ...")
 
     if args.track:

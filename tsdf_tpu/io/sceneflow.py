@@ -91,9 +91,18 @@ class MockSceneFlow:
         return len(self.files) > 0
 
     def compute_scene_flow(self, depth=None, rgb=None):
-        """Return (translation (3,), rotation (3,), flow (H, W, 3) mm)."""
+        """Return (translation (3,), rotation (3,), flow (H, W, 3) mm).
+
+        Raises when the directory is exhausted — silently replaying the
+        last flow would advance the warp field with stale data.
+        """
+        if self.index >= len(self.files):
+            raise RuntimeError(
+                f"scene-flow directory exhausted after "
+                f"{len(self.files)} files ({self.directory})"
+            )
         path = self.files[self.index]
-        self.index = min(self.index + 1, len(self.files) - 1)
+        self.index += 1
         return self._read(path)
 
     def _read(self, path):

@@ -109,8 +109,18 @@ def load_tsdf(path: str, materialize_deform: bool = True) -> TSDFVolume:
     )
     if materialize_deform and deform.size == n * 6:
         d = deform.reshape(n, 6)
-        vol = vol.replace(
-            deform=jnp.asarray(d[:, 0:3].reshape(shape + (3,))),
-            deform_rot=jnp.asarray(d[:, 3:6].reshape(shape + (3,))),
-        )
+        # Every .tsdf carries a deformation block (the format always
+        # serializes one), but an identity warp field costs 6x volume
+        # memory and silently demotes integrate to the non-rigid path —
+        # detect identity (translations == undeformed voxel centres,
+        # zero rotations) on the host and drop it.
+        centres = np.asarray(vol.voxel_centres(), np.float32).reshape(n, 3)
+        identity = np.allclose(
+            d[:, 0:3], centres, atol=1e-3
+        ) and not d[:, 3:6].any()
+        if not identity:
+            vol = vol.replace(
+                deform=jnp.asarray(d[:, 0:3].reshape(shape + (3,))),
+                deform_rot=jnp.asarray(d[:, 3:6].reshape(shape + (3,))),
+            )
     return vol

@@ -138,56 +138,3 @@ def lane_gather_any(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(
         table, jnp.clip(idx, 0, table.shape[1] - 1), axis=1
     ) * ((idx >= 0) & (idx < table.shape[1]))
-
-
-def gather2d_banded(
-    img: jnp.ndarray,
-    py: jnp.ndarray,
-    px: jnp.ndarray,
-    band: int,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact 2D lookup out[y, x] = img[py, px] for |py - y| <= band.
-
-    The fully general per-pixel 2D gather has no fast TPU form; but when
-    the row displacement is bounded (projective ICP association under
-    small inter-frame motion), it decomposes into 2*band+1 row-rolls,
-    each a pure lane-gather at the exact column, selected where the row
-    candidate matches — the same candidates-plus-exact-select pattern as
-    kernels/integrate.py.
-
-    Returns (values, found) — found is False where |py - y| > band or
-    the target is out of the image; such lookups must be treated as
-    no-correspondence by the caller.
-    """
-    h, w = img.shape
-    yy = jnp.arange(h, dtype=py.dtype)[:, None]
-    dy = py - yy  # (H, W)
-    in_img = (py >= 0) & (py < h) & (px >= 0) & (px < w)
-    found = in_img & (jnp.abs(dy) <= band)
-    out = jnp.zeros(px.shape, img.dtype)
-    for k in range(-band, band + 1):
-        rolled = jnp.roll(img, -k, axis=0)  # rolled[y] = img[y + k]
-        cand = lane_gather_any(rolled, px)
-        out = jnp.where(dy == k, cand, out)
-    return jnp.where(found, out, 0.0), found
-
-
-def row_gather(table: jnp.ndarray, rowidx: jnp.ndarray) -> jnp.ndarray:
-    """out[y, c] = table[rowidx[y, c], c].
-
-    Gathers along the first axis by transposing into lane-gather form.
-
-    Args:
-      table:  (R, C) with R and C multiples of 128 (R is gathered over,
-              so it must tile into lane blocks after the transpose).
-      rowidx: (Y, C) int32, Y a multiple of 8, values in [0, R).
-
-    Returns: (Y, C).
-    """
-    r, ct = table.shape
-    y, c = rowidx.shape
-    assert ct == c, (table.shape, rowidx.shape)
-    # int32 indices ride the MXU transpose via f32 (exact below 2^24).
-    idx_t = mxu_transpose(rowidx.astype(jnp.float32)).astype(jnp.int32)
-    out_t = lane_gather(mxu_transpose(table), idx_t)  # (C, Y)
-    return mxu_transpose(out_t)

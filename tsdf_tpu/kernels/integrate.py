@@ -208,7 +208,12 @@ def _kernel(
     d = tsdf_ref[0]
     w = weight_ref[0]
     sdf = depth_val - Zc
-    update = in_img & matched & (depth_val > 0.0) & (sdf >= -trunc)
+    # Zc > 0 gate: see ops/integrate.py — behind-camera voxels must not
+    # receive free-space updates (reference bug, not replicated).
+    update = (
+        in_img & (Zc > 0.0) & matched & (depth_val > 0.0)
+        & (sdf >= -trunc)
+    )
     tsdf_obs = jnp.minimum(sdf, trunc)
     new_w = w + 1.0
     new_d = (d * w + tsdf_obs) / new_w

@@ -51,14 +51,31 @@ bool decode_png16(const char* path, std::vector<uint16_t>& out, uint32_t* w,
   int bit_depth = png_get_bit_depth(png, info);
   int color = png_get_color_type(png, info);
 
-  if (color != PNG_COLOR_TYPE_GRAY) {
+  if (color & PNG_COLOR_MASK_PALETTE) {
+    png_set_palette_to_rgb(png);
+  }
+  if (color & PNG_COLOR_MASK_COLOR || color & PNG_COLOR_MASK_PALETTE) {
     png_set_rgb_to_gray_fixed(png, 1, -1, -1);
+  }
+  if (color & PNG_COLOR_MASK_ALPHA) {
+    png_set_strip_alpha(png);
+  }
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) {
+    png_set_strip_alpha(png);
   }
   if (bit_depth < 16) {
     png_set_expand_16(png);
   }
   png_set_swap(png);  // PNG is big-endian on disk; we want host LE
   png_read_update_info(png, info);
+
+  // the row buffers below are sized for exactly one 16-bit grey channel;
+  // refuse anything the transform chain did not reduce to that
+  if (png_get_rowbytes(png, info) != size_t(*w) * 2) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return false;
+  }
 
   out.resize(size_t(*w) * *h);
   std::vector<png_bytep> rows(*h);
@@ -108,19 +125,24 @@ struct Frame {
   bool ok = false;
 };
 
+// Decode-ahead window: bounds resident frames to roughly this many
+// beyond the consumer's position, so long sequences don't pile the whole
+// dataset into RAM.
+constexpr size_t kPrefetchWindow = 16;
+
 struct Prefetcher {
   std::vector<std::string> paths;
   std::vector<Frame> frames;
-  std::vector<std::atomic<int>> state;  // 0 pending, 1 busy, 2 done
-  std::atomic<size_t> next_job{0};
+  std::vector<int> state;  // 0 pending, 1 busy, 2 done; guarded by mu
+  size_t next_job = 0;
+  size_t consumed = 0;  // frames the consumer has taken
   std::vector<std::thread> workers;
   std::mutex mu;
   std::condition_variable cv;
-  std::atomic<bool> stop{false};
+  bool stop = false;
 
   Prefetcher(const char** p, int n, int threads)
-      : paths(p, p + n), frames(n), state(n) {
-    for (auto& s : state) s.store(0);
+      : paths(p, p + n), frames(n), state(n, 0) {
     int nt = threads > 0 ? threads : 4;
     for (int t = 0; t < nt; ++t)
       workers.emplace_back([this] { work(); });
@@ -128,13 +150,24 @@ struct Prefetcher {
 
   void work() {
     for (;;) {
-      if (stop.load()) return;
-      size_t i = next_job.fetch_add(1);
-      if (i >= paths.size()) return;
-      state[i].store(1);
-      Frame& f = frames[i];
+      size_t i;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.wait(lk, [&] {
+          return stop || (next_job < paths.size() &&
+                          next_job < consumed + kPrefetchWindow);
+        });
+        if (stop || next_job >= paths.size()) return;
+        i = next_job++;
+        state[i] = 1;
+      }
+      Frame f;
       f.ok = decode_png16(paths[i].c_str(), f.data, &f.w, &f.h);
-      state[i].store(2);
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        frames[i] = std::move(f);
+        state[i] = 2;
+      }
       cv.notify_all();
     }
   }
@@ -142,12 +175,20 @@ struct Prefetcher {
   Frame* wait(size_t i) {
     if (i >= frames.size()) return nullptr;
     std::unique_lock<std::mutex> lk(mu);
-    cv.wait(lk, [&] { return state[i].load() == 2; });
+    if (i >= consumed) {
+      consumed = i;  // opens the window for workers
+      cv.notify_all();
+    }
+    cv.wait(lk, [&] { return state[i] == 2; });
     return &frames[i];
   }
 
   ~Prefetcher() {
-    stop.store(true);
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      stop = true;
+    }
+    cv.notify_all();
     for (auto& t : workers)
       if (t.joinable()) t.join();
   }
@@ -158,11 +199,25 @@ struct Prefetcher {
 extern "C" {
 
 // Single image. Returns 0 on success; caller provides the buffer sized
-// from tsdf_png16_size.
+// from tsdf_png16_size. Header-only read — no pixel decode.
 int tsdf_png16_size(const char* path, uint32_t* w, uint32_t* h) {
-  std::vector<uint16_t> tmp;
-  // header-only read would be nicer; decode is cheap enough for probing
-  return decode_png16(path, tmp, w, h) ? 0 : -1;
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return -1;
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                           nullptr, nullptr);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info || setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return -1;
+  }
+  png_init_io(png, fp);
+  png_read_info(png, info);
+  *w = png_get_image_width(png, info);
+  *h = png_get_image_height(png, info);
+  png_destroy_read_struct(&png, &info, nullptr);
+  std::fclose(fp);
+  return 0;
 }
 
 int tsdf_load_png16(const char* path, uint16_t* out, uint32_t w, uint32_t h) {

@@ -86,7 +86,14 @@ def integrate(
 
     sdf = surface_depth - cam[..., 2]
     trunc = vol.truncation_distance
-    update = in_frustum & (surface_depth > 0) & (sdf >= -trunc)
+    # The cam-z > 0 gate is absent in the reference (world_to_pixel has
+    # no z check): voxels BEHIND the camera can double-sign-flip into the
+    # frame and receive spurious free-space updates whenever the camera
+    # is inside the volume. Intended math includes the gate.
+    update = (
+        in_frustum & (cam[..., 2] > 0) & (surface_depth > 0)
+        & (sdf >= -trunc)
+    )
 
     # Positive-side truncation only (negative side already gated at -trunc,
     # ref: TSDFVolume.cu:365-372).
@@ -108,10 +115,15 @@ def integrate(
         rgb_f = jnp.asarray(rgb, jnp.float32).reshape(-1, 3)
         surf_rgb = jnp.take(rgb_f, lin, axis=0)  # (Z, Y, X, 3)
         # colour only within the truncation band (a free-space voxel
-        # should not take the colour of the surface behind it)
+        # should not take the colour of the surface behind it). The TSDF
+        # weight also counts band-less (free-space) observations, so a
+        # weighted mean over it would starve late-appearing surfaces —
+        # blend with a floored rate instead (converges within ~max_weight
+        # colour observations regardless of prior free-space weight).
         col_update = (update & (jnp.abs(sdf) < trunc))[..., None]
         old = vol.color.astype(jnp.float32)
-        blended = (old * prior_w[..., None] + surf_rgb) / new_w[..., None]
+        rate = jnp.maximum(1.0 / new_w, 1.0 / vol.max_weight)[..., None]
+        blended = old + rate * (surf_rgb - old)
         new_color = jnp.clip(
             jnp.round(jnp.where(col_update, blended, old)), 0, 255
         ).astype(jnp.uint8)

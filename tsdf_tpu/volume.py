@@ -229,16 +229,3 @@ def voxel_for_point(points, voxel_size) -> jnp.ndarray:
     """
     points = jnp.asarray(points, dtype=jnp.float32)
     return jnp.floor(points / voxel_size).astype(jnp.int32)
-
-
-def np_header_tuple(vol: TSDFVolume) -> dict:
-    """Host-side header metadata for serialization (see io/tsdf_file.py)."""
-    return dict(
-        size=np.asarray(vol.size, dtype=np.uint32),
-        physical_size=np.asarray(vol.physical_size, dtype=np.float32),
-        offset=np.asarray(vol.offset, dtype=np.float32),
-        truncation_distance=np.float32(vol.truncation_distance),
-        max_weight=np.float32(vol.max_weight),
-        global_translation=np.asarray(vol.global_translation, np.float32),
-        global_rotation=np.asarray(vol.global_rotation, np.float32),
-    )
