@@ -45,14 +45,17 @@ def main():
     import jax
 
     # Compiles route through a remote service here and can take minutes
-    # cold; the persistent cache makes bench reruns cheap.
-    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    # cold; the persistent cache makes bench reruns cheap. Anchor it to
+    # this file so the cache is shared regardless of the caller's cwd.
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     import jax.numpy as jnp
 
     from tsdf_tpu import Camera, make_volume
-    from tsdf_tpu.kernels import integrate_pallas
+    from tsdf_tpu.kernels import integrate_auto
     from tsdf_tpu.kernels.raycast import raycast_pallas
     from tsdf_tpu.utils import fixtures
 
@@ -71,16 +74,24 @@ def main():
         fixtures.sphere_depth_map(width, height, 150.0, 1000.0, 2500.0)
     )
 
-    # Chained (volume fed back) — the real fusion-loop shape. The Pallas
-    # kernel is the production path (see tsdf_tpu/kernels/integrate.py).
-    v, miss = integrate_pallas(vol, depth, camera)  # warmup/compile
+    # Chained (volume fed back) — the real fusion-loop shape. nk=1 is the
+    # fast candidate count; the exact-or-skip miss counters are collected
+    # asynchronously and verified ONCE after timing (a per-frame readback
+    # would serialize on the device sync), so every timed frame is proven
+    # exact.
+    from tsdf_tpu.kernels import integrate_pallas
+
+    v, miss = integrate_pallas(vol, depth, camera, nk=1)  # warmup/compile
     _sync(v.weight)
     iters = 10
+    misses = []
     t0 = time.perf_counter()
     for _ in range(iters):
-        v, miss = integrate_pallas(v, depth, camera)
+        v, miss = integrate_pallas(v, depth, camera, nk=1)
+        misses.append(miss)
     _sync(v.weight)
     dt_int = (time.perf_counter() - t0) / iters
+    assert sum(int(m) for m in misses) == 0
     voxel_updates_per_s = grid**3 / dt_int
 
     # Raycast a fused sphere volume (sphere mode, the production path).

@@ -87,3 +87,42 @@ def test_rejects_deformed_volume():
     depth = jnp.zeros((48, 64), jnp.uint16)
     with pytest.raises(ValueError):
         integrate_pallas(vol, depth, cam, interpret=True)
+
+
+def test_adaptive_escalation_on_rolled_camera():
+    """A ~60-degree-rolled camera makes |beta| > 0.5: nk=1 must report
+    misses and integrate_auto must escalate to an exact result."""
+    import math
+
+    from tsdf_tpu.kernels.integrate import integrate_auto
+
+    vol = make_volume((32, 32, 32), 1500.0, offset=(-750.0, -750.0, 0.0))
+    cam = (
+        Camera.default_depth_camera()
+        .move_to([0.0, 0.0, -400.0])
+        .look_at([0.0, 0.0, 750.0])
+    )
+    a = math.radians(60.0)
+    roll = jnp.array(
+        [
+            [math.cos(a), -math.sin(a), 0, 0],
+            [math.sin(a), math.cos(a), 0, 0],
+            [0, 0, 1, 0],
+            [0, 0, 0, 1],
+        ],
+        jnp.float32,
+    )
+    cam = cam.set_pose(cam.pose @ roll)
+    depth = jnp.asarray(
+        fixtures.sphere_depth_map(640, 480, 150.0, 500.0, 1200.0)
+    )
+
+    _, miss1 = integrate_pallas(vol, depth, cam, nk=1, interpret=True)
+    assert int(miss1) > 0  # nk=1 genuinely insufficient here
+
+    out, miss = integrate_auto(vol, depth, cam, interpret=True)
+    assert int(miss) == 0
+    ref = integrate(vol, depth, cam)
+    np.testing.assert_allclose(
+        np.asarray(out.tsdf), np.asarray(ref.tsdf), atol=5e-3
+    )
