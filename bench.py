@@ -162,9 +162,12 @@ def main():
         kinfu_ms = None
 
     baseline = None
-    if os.path.exists("BENCH_BASELINE.json"):
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
+    )
+    if os.path.exists(baseline_path):
         try:
-            with open("BENCH_BASELINE.json") as f:
+            with open(baseline_path) as f:
                 baseline = json.load(f).get("value")
         except Exception:
             baseline = None

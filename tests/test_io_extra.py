@@ -64,3 +64,26 @@ def test_block_tsdf_comments_and_blanks(tmp_path):
     p.write_text(txt)
     out = load_block_tsdf(str(p))
     assert out.size == (2, 2, 2)
+
+
+def test_fl_2_uchar(tmp_path):
+    # ref: src/Tools/fl_2_uchar.c:28-71 (intended normalisation; the
+    # reference's bare *255 overflow bug is not replicated)
+    from tsdf_tpu.io.convert import fl_2_uchar
+
+    rng = np.random.RandomState(0)
+    data = rng.uniform(-4.0, 9.0, size=(2, 3, 4)).astype(np.float32)
+    src = tmp_path / "vol.fl"
+    with open(src, "wb") as f:
+        np.array([4, 3, 2], np.uint32).tofile(f)  # x, y, z
+        np.array([1.0, 1.0, 1.0], np.float32).tofile(f)
+        data.ravel().tofile(f)
+    dst = tmp_path / "vol.u8"
+    lo, hi = fl_2_uchar(str(src), str(dst))
+    out = np.fromfile(dst, np.uint8)
+    assert out.size == data.size
+    assert lo == float(data.min()) and hi == float(data.max())
+    expect = np.clip(
+        (data.ravel() - lo) * (255.0 / (hi - lo)), 0, 255
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(out, expect)

@@ -61,3 +61,35 @@ def test_prefetcher(tmp_path):
     assert len(got) == 5
     for a, b in zip(got, imgs):
         np.testing.assert_array_equal(a, b)
+
+
+def test_prefetcher_retake_errors(tmp_path):
+    # tsdf_prefetch_take clears the frame after the first copy; a second
+    # take of the same index must error, not read the emptied vector.
+    p = str(tmp_path / "f.png")
+    native.save_png16(p, _img(3))
+    pf = native.PNGPrefetcher([p, p], threads=1)
+    _ = pf.get(0)
+    try:
+        import pytest
+
+        with pytest.raises(IOError):
+            pf.get(0)
+    finally:
+        pf.close()
+
+
+def test_prefetcher_rejects_non_grey16(tmp_path):
+    # strict mode: an 8-bit PNG must error per-frame (the TUM loader
+    # falls back to the PIL path so both loaders agree).
+    from PIL import Image
+    import pytest
+
+    p8 = str(tmp_path / "f8.png")
+    Image.fromarray(np.full((4, 4), 7, np.uint8)).save(p8)
+    pf = native.PNGPrefetcher([p8, p8], threads=1)
+    try:
+        with pytest.raises(IOError):
+            pf.get(0)
+    finally:
+        pf.close()

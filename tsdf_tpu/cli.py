@@ -288,10 +288,13 @@ def cmd_sfusion(args):
 
 
 def cmd_convert(args):
-    from .io.convert import freenect2png, pgm2png
+    from .io.convert import fl_2_uchar, freenect2png, pgm2png
 
     if args.kind == "freenect2png":
         freenect2png(args.input, args.output)
+    elif args.kind == "fl2uchar":
+        lo, hi = fl_2_uchar(args.input, args.output)
+        print(f"Min: {lo:f}, Max : {hi:f}")  # ref: fl_2_uchar.c:64
     else:
         pgm2png(args.input, args.output)
     print(f"wrote {args.output}")
@@ -362,7 +365,7 @@ def main(argv=None):
     p.set_defaults(fn=cmd_sfusion)
 
     p = sub.add_parser("convert", help="format converters")
-    p.add_argument("kind", choices=("freenect2png", "pgm2png"))
+    p.add_argument("kind", choices=("freenect2png", "pgm2png", "fl2uchar"))
     p.add_argument("input")
     p.add_argument("output")
     p.set_defaults(fn=cmd_convert)

@@ -35,3 +35,31 @@ def freenect2png(pgm_path: str, png_path: str) -> None:
 def pgm2png(pgm_path: str, png_path: str) -> None:
     """Plain PGM -> PNG (ref: pgm2png.cpp)."""
     save_png(png_path, load_pgm(pgm_path))
+
+
+def fl_2_uchar(in_path: str, out_path: str) -> tuple[float, float]:
+    """Raw float volume -> raw u8 volume, min-max normalised to 0..255.
+
+    File layout: header {3 x uint32 size, 3 x float physical_size} then
+    size.x*size.y*size.z floats; output is the same count of raw u8
+    bytes, no header (ref: src/Tools/fl_2_uchar.c:28-71). The reference
+    computes ``scale = 255/(max-min)`` but then multiplies by a bare 255
+    (fl_2_uchar.c:66-70), overflowing for any range wider than 1.0 — the
+    intended normalisation is built here, not the bug.
+
+    Returns (min, max) of the input, which the reference prints.
+    """
+    with open(in_path, "rb") as f:
+        size = np.fromfile(f, np.uint32, 3)
+        _psize = np.fromfile(f, np.float32, 3)
+        n = int(size[0]) * int(size[1]) * int(size[2])
+        data = np.fromfile(f, np.float32, n)
+    if data.size != n:
+        raise ValueError(
+            f"{in_path}: expected {n} floats, found {data.size}"
+        )
+    lo, hi = float(data.min()), float(data.max())
+    scale = 255.0 / (hi - lo) if hi > lo else 0.0
+    out = np.clip((data - lo) * scale, 0.0, 255.0).astype(np.uint8)
+    out.tofile(out_path)
+    return lo, hi

@@ -76,13 +76,18 @@ class TUMDataLoader:
         from .. import native
 
         if len(self.entries) > 1 and native.available():
+            # The prefetcher decodes strictly native 16-bit-grey PNGs
+            # (bit-identical to the PIL fallback); any other format
+            # errors per-frame and is loaded through the fallback path
+            # instead, so both loaders always agree.
             pf = native.PNGPrefetcher([p for p, _ in self.entries])
             try:
-                for frame, (_, pose) in zip(pf, self.entries):
-                    yield (
-                        DepthImage(frame).scale_depth(0.2),
-                        pose,
-                    )
+                for i, (path, pose) in enumerate(self.entries):
+                    try:
+                        frame = pf.get(i)
+                        yield DepthImage(frame).scale_depth(0.2), pose
+                    except IOError:
+                        yield self._load(path), pose
             finally:
                 pf.close()
             return

@@ -27,8 +27,12 @@ namespace {
 // ---------------------------------------------------------------------------
 // 16-bit grey PNG decode (ref: load_png_from_file PngUtilities.cpp:13-90)
 // ---------------------------------------------------------------------------
+// strict: accept only native 16-bit greyscale files (no transform chain).
+// The prefetch path uses strict so its output is bit-identical to the
+// fallback PIL loader on every input it accepts; permissive mode keeps
+// the reference's conversion chain for the general-purpose loader.
 bool decode_png16(const char* path, std::vector<uint16_t>& out, uint32_t* w,
-                  uint32_t* h) {
+                  uint32_t* h, bool strict = false) {
   FILE* fp = std::fopen(path, "rb");
   if (!fp) return false;
   png_structp png =
@@ -51,6 +55,11 @@ bool decode_png16(const char* path, std::vector<uint16_t>& out, uint32_t* w,
   int bit_depth = png_get_bit_depth(png, info);
   int color = png_get_color_type(png, info);
 
+  if (strict && (bit_depth != 16 || color != PNG_COLOR_TYPE_GRAY)) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return false;
+  }
   if (color & PNG_COLOR_MASK_PALETTE) {
     png_set_palette_to_rgb(png);
   }
@@ -123,6 +132,7 @@ struct Frame {
   std::vector<uint16_t> data;
   uint32_t w = 0, h = 0;
   bool ok = false;
+  bool taken = false;  // take() clears data; a second take must error
 };
 
 // Decode-ahead window: bounds resident frames to roughly this many
@@ -162,7 +172,11 @@ struct Prefetcher {
         state[i] = 1;
       }
       Frame f;
-      f.ok = decode_png16(paths[i].c_str(), f.data, &f.w, &f.h);
+      // strict: prefetch only serves native 16-bit grey (TUM depth);
+      // anything else errors so the caller can fall back to the PIL
+      // loader and both paths always agree bit-for-bit.
+      f.ok = decode_png16(paths[i].c_str(), f.data, &f.w, &f.h,
+                          /*strict=*/true);
       {
         std::lock_guard<std::mutex> lk(mu);
         frames[i] = std::move(f);
@@ -274,8 +288,9 @@ int tsdf_prefetch_take(void* handle, int i, uint16_t* out, uint32_t w,
                        uint32_t h) {
   Prefetcher* p = static_cast<Prefetcher*>(handle);
   Frame* f = p->wait(i);
-  if (!f || !f->ok || f->w != w || f->h != h) return -1;
+  if (!f || !f->ok || f->taken || f->w != w || f->h != h) return -1;
   std::memcpy(out, f->data.data(), sizeof(uint16_t) * size_t(w) * h);
+  f->taken = true;
   f->data.clear();
   f->data.shrink_to_fit();
   return 0;

@@ -112,7 +112,14 @@ def integrate(
                 "colour frame given but the volume has no colour field; "
                 "use make_volume(with_color=True) / vol.with_color()"
             )
-        rgb_f = jnp.asarray(rgb, jnp.float32).reshape(-1, 3)
+        rgb = jnp.asarray(rgb)
+        if rgb.shape[:2] != depth.shape[:2]:
+            raise ValueError(
+                f"colour frame {rgb.shape[:2]} does not match depth "
+                f"{depth.shape[:2]}; the flat pixel index would fuse "
+                "wrong colours"
+            )
+        rgb_f = rgb.astype(jnp.float32).reshape(-1, 3)
         surf_rgb = jnp.take(rgb_f, lin, axis=0)  # (Z, Y, X, 3)
         # colour only within the truncation band (a free-space voxel
         # should not take the colour of the surface behind it). The TSDF

@@ -117,10 +117,16 @@ def _check_misses(miss_log, config: FusionConfig) -> None:
     if total:
         import warnings
 
+        remedy = (
+            "FusionConfig(integrate_nk=3)"
+            if config.integrate_nk < 3
+            else "FusionConfig(integrate_nk=5), or use_pallas=False "
+            "(ops.integrate) for extreme camera roll"
+        )
         warnings.warn(
             f"{total} voxel observations skipped by the line-warp "
             f"integrate at nk={config.integrate_nk}; re-run with "
-            "FusionConfig(integrate_nk=3) (heavy camera roll)."
+            f"{remedy}."
         )
 
 
