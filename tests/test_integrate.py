@@ -176,3 +176,31 @@ def test_color_requires_color_field():
         integrate(
             vol, jnp.zeros((48, 64)), cam, rgb=jnp.zeros((48, 64, 3), jnp.uint8)
         )
+
+
+def test_integrate_bf16_storage_close_to_f32():
+    # bf16 tsdf/weight storage: compute stays f32, results within bf16
+    # rounding of the f32 path; weights (small ints) stay exact.
+    import jax.numpy as jnp
+    from tsdf_tpu import Camera, integrate, make_volume
+    from tsdf_tpu.utils import fixtures
+
+    vol32 = make_volume((32, 32, 32), 2000.0, offset=(-1000, -1000, 0))
+    vol16 = vol32.astype(jnp.bfloat16)
+    cam = (
+        Camera.default_depth_camera()
+        .move_to([0.0, 0.0, -500.0])
+        .look_at([0.0, 0.0, 1000.0])
+    )
+    depth = fixtures.sphere_depth_map(64, 48, 20.0, 800.0, 1200.0)
+    for _ in range(3):
+        vol32 = integrate(vol32, depth, cam)
+        vol16 = integrate(vol16, depth, cam)
+    assert vol16.tsdf.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(vol16.weight, np.float32), np.asarray(vol32.weight)
+    )
+    # trunc ~ 119mm at this grid; bf16 relative step is 2^-8
+    d16 = np.asarray(vol16.tsdf, np.float32)
+    d32 = np.asarray(vol32.tsdf)
+    assert np.max(np.abs(d16 - d32)) < np.max(np.abs(d32)) * 2**-7

@@ -126,3 +126,103 @@ def test_adaptive_escalation_on_rolled_camera():
     np.testing.assert_allclose(
         np.asarray(out.tsdf), np.asarray(ref.tsdf), atol=5e-3
     )
+
+
+def test_pallas_bf16_storage_matches_lax():
+    import jax.numpy as jnp
+    from tsdf_tpu import Camera, integrate, make_volume
+    from tsdf_tpu.kernels.integrate import integrate_pallas
+    from tsdf_tpu.utils import fixtures
+
+    vol = make_volume(
+        (32, 32, 32), 2000.0, offset=(-1000, -1000, 0)
+    ).astype(jnp.bfloat16)
+    cam = (
+        Camera.default_depth_camera()
+        .move_to([0.0, 0.0, -500.0])
+        .look_at([0.0, 0.0, 1000.0])
+    )
+    depth = fixtures.sphere_depth_map(64, 48, 20.0, 800.0, 1200.0)
+    ref = integrate(vol, depth, cam)
+    out, miss = integrate_pallas(vol, depth, cam, nk=3, interpret=True)
+    assert int(miss) == 0
+    assert out.tsdf.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(out.weight, np.float32),
+        np.asarray(ref.weight, np.float32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.tsdf, np.float32),
+        np.asarray(ref.tsdf, np.float32),
+        rtol=0, atol=1.0,
+    )
+
+
+def _warp_test_setup(dx_mm, dy_mm):
+    import jax.numpy as jnp
+    from tsdf_tpu import Camera, make_volume
+    from tsdf_tpu.utils import fixtures
+
+    vol = make_volume(
+        (32, 32, 32), 2000.0, offset=(-1000, -1000, 0),
+        with_deformation=True,
+    )
+    # smooth displacement field: sinusoidal in z, bounded by (dx, dy) mm
+    z = jnp.arange(32, dtype=jnp.float32)[:, None, None, None]
+    disp = jnp.concatenate(
+        [
+            dx_mm * jnp.sin(z / 5.0) * jnp.ones(vol.deform.shape[:-1])[..., None],
+            dy_mm * jnp.cos(z / 7.0) * jnp.ones(vol.deform.shape[:-1])[..., None],
+            jnp.zeros(vol.deform.shape[:-1])[..., None],
+        ],
+        axis=-1,
+    )
+    vol = vol.replace(deform=vol.deform + disp)
+    cam = (
+        Camera.default_depth_camera()
+        .move_to([0.0, 0.0, -500.0])
+        .look_at([0.0, 0.0, 1000.0])
+    )
+    depth = fixtures.sphere_depth_map(64, 48, 20.0, 800.0, 1200.0)
+    return vol, depth, cam
+
+
+def test_warped_pallas_matches_lax():
+    # x-warp 1.5mm stays under the nk=5 pixel budget (fx*dx/Zc <= 2px at
+    # Zc >= 450mm); y-warp 30mm is large (unbounded budget) — zero
+    # misses, bit-for-bit weight equality
+    from tsdf_tpu import integrate
+    from tsdf_tpu.kernels.integrate import integrate_warped_pallas
+
+    vol, depth, cam = _warp_test_setup(1.5, 30.0)
+    ref = integrate(vol, depth, cam)
+    out, miss = integrate_warped_pallas(
+        vol, depth, cam, nk=5, interpret=True
+    )
+    assert int(miss) == 0
+    np.testing.assert_array_equal(
+        np.asarray(out.weight), np.asarray(ref.weight)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.tsdf), np.asarray(ref.tsdf), rtol=0, atol=5e-3
+    )
+
+
+def test_warped_pallas_counts_misses_on_excess_x_warp():
+    # 60mm x-warp (~24px) cannot fit nk=3: the kernel must skip-and-count,
+    # never fuse a wrong depth value
+    from tsdf_tpu import integrate
+    from tsdf_tpu.kernels.integrate import integrate_warped_pallas
+
+    vol, depth, cam = _warp_test_setup(60.0, 0.0)
+    ref = integrate(vol, depth, cam)
+    out, miss = integrate_warped_pallas(
+        vol, depth, cam, nk=3, interpret=True
+    )
+    assert int(miss) > 0
+    # every voxel the kernel DID update matches the lax result
+    upd = np.asarray(out.weight) > np.asarray(vol.weight)
+    np.testing.assert_allclose(
+        np.asarray(out.tsdf)[upd], np.asarray(ref.tsdf)[upd],
+        rtol=0, atol=5e-3,
+    )

@@ -106,3 +106,27 @@ def test_all_principal_view_axes():
         b = hr & hp
         e = np.linalg.norm(np.asarray(vr)[b] - np.asarray(vp)[b], axis=-1)
         assert np.median(e) < 2.0, pos
+
+
+def test_raycast_pallas_bf16_volume():
+    import jax.numpy as jnp
+    from tsdf_tpu import Camera, make_volume
+    from tsdf_tpu.kernels.raycast import raycast_pallas
+    from tsdf_tpu.utils import fixtures
+
+    vol = _vol()
+    cam = (
+        Camera.from_intrinsics(FX, FY, CX, CY)
+        .move_to([0.0, 0.0, -500.0])
+        .look_at([0.0, 0.0, 1000.0])
+    )
+    v32, _ = raycast_pallas(vol, cam, width=W, height=H, interpret=True)
+    v16, _ = raycast_pallas(
+        vol.astype(jnp.bfloat16), cam, width=W, height=H, interpret=True
+    )
+    hit32 = np.isfinite(np.asarray(v32)).all(-1)
+    hit16 = np.isfinite(np.asarray(v16)).all(-1)
+    assert (hit32 == hit16).mean() > 0.99
+    both = hit32 & hit16
+    err = np.linalg.norm(np.asarray(v32)[both] - np.asarray(v16)[both], axis=-1)
+    assert np.median(err) < 5.0  # mm; bf16 tsdf quantization

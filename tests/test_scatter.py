@@ -1,0 +1,104 @@
+"""Sorted-window matmul scatter-add (ops/scatter.py) vs numpy add.at."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tsdf_tpu.ops.scatter import (
+    scatter_add_flat,
+    scatter_set_int,
+    take_flat,
+)
+
+
+def _ref(n, lin, val):
+    out = np.zeros(n, np.float32)
+    ok = (lin >= 0) & (lin < n)
+    np.testing.assert_array_equal  # noqa: B018 (keep import obvious)
+    np.add.at(out, lin[ok], val[ok])
+    return out
+
+
+@pytest.mark.parametrize("n", [100, 128, 1000, 70000])
+@pytest.mark.parametrize("c", [0, 1, 37, 5000])
+def test_scatter_add_random(n, c):
+    rng = np.random.RandomState(n + c)
+    lin = rng.randint(-5, n + 5, size=c).astype(np.int32)
+    val = rng.randn(c).astype(np.float32)
+    out = np.asarray(
+        scatter_add_flat(n, jnp.asarray(lin), jnp.asarray(val),
+                         window=64, rows_per_patch=16)
+    )
+    np.testing.assert_allclose(out, _ref(n, lin, val), rtol=1e-6, atol=1e-5)
+
+
+def test_scatter_add_heavy_duplicates():
+    n = 512
+    rng = np.random.RandomState(0)
+    lin = rng.randint(0, 4, size=10000).astype(np.int32)  # 4 hot targets
+    val = rng.rand(10000).astype(np.float32)
+    out = np.asarray(scatter_add_flat(n, jnp.asarray(lin), jnp.asarray(val)))
+    np.testing.assert_allclose(out, _ref(n, lin, val), rtol=1e-5, atol=1e-2)
+
+
+def test_scatter_add_sparse_span():
+    # contributions separated by far more than rows_per_patch rows: the
+    # cursor must still make progress (prefix consumption)
+    n = 1 << 20
+    lin = np.array([0, 131072, 262144, 524288, n - 1], np.int32)
+    val = np.ones(5, np.float32)
+    out = scatter_add_flat(
+        n, jnp.asarray(lin), jnp.asarray(val), window=64, rows_per_patch=8
+    )
+    got = np.asarray(out)
+    np.testing.assert_allclose(got[lin], 1.0)
+    assert float(got.sum()) == 5.0
+
+
+def test_scatter_add_multi_payload_sorted():
+    n = 300
+    lin = np.sort(np.random.RandomState(1).randint(0, n, 400)).astype(
+        np.int32
+    )
+    vals = np.random.RandomState(2).randn(3, 400).astype(np.float32)
+    out = np.asarray(
+        scatter_add_flat(
+            n, jnp.asarray(lin), jnp.asarray(vals), is_sorted=True,
+            window=32, rows_per_patch=8,
+        )
+    )
+    for d in range(3):
+        np.testing.assert_allclose(
+            out[d], _ref(n, lin, vals[d]), rtol=1e-6, atol=1e-5
+        )
+
+
+def test_scatter_set_int_large_values():
+    n = 1000
+    rng = np.random.RandomState(3)
+    lin = rng.permutation(n)[:200].astype(np.int32)  # unique targets
+    val = rng.randint(0, 1 << 27, size=200).astype(np.int32)
+    out = np.asarray(scatter_set_int(n, jnp.asarray(lin), jnp.asarray(val)))
+    ref = np.zeros(n, np.int32)
+    ref[lin] = val
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_take_flat_forward_and_grad():
+    n = 4096
+    rng = np.random.RandomState(4)
+    flat = jnp.asarray(rng.randn(n).astype(np.float32))
+    lin = jnp.asarray(rng.randint(0, n, size=(7, 11)).astype(np.int32))
+    ct = jnp.asarray(rng.randn(7, 11).astype(np.float32))
+
+    np.testing.assert_array_equal(
+        np.asarray(take_flat(flat, lin)),
+        np.asarray(jnp.take(flat, lin, axis=0)),
+    )
+
+    g_new = jax.grad(lambda f: jnp.sum(take_flat(f, lin) * ct))(flat)
+    g_ref = jax.grad(lambda f: jnp.sum(jnp.take(f, lin, axis=0) * ct))(flat)
+    np.testing.assert_allclose(
+        np.asarray(g_new), np.asarray(g_ref), rtol=1e-6, atol=1e-5
+    )

@@ -8,6 +8,14 @@ these kernels restructure the memory access into the per-vreg
 128, sublane-gather at height 8).
 """
 
-from .integrate import integrate_auto, integrate_pallas
+from .integrate import (
+    integrate_auto,
+    integrate_pallas,
+    integrate_warped_pallas,
+)
 
-__all__ = ["integrate_pallas", "integrate_auto"]
+__all__ = [
+    "integrate_pallas",
+    "integrate_auto",
+    "integrate_warped_pallas",
+]

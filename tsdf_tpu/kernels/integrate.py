@@ -210,8 +210,9 @@ def _kernel(
         matched = matched | match_k
 
     # --- the TSDF update (identical math to ops/integrate.py) ------------
-    d = tsdf_ref[0]
-    w = weight_ref[0]
+    # storage may be bf16 (half the HBM stream); compute stays f32
+    d = tsdf_ref[0].astype(jnp.float32)
+    w = weight_ref[0].astype(jnp.float32)
     sdf = depth_val - Zc
     # Zc > 0 gate: see ops/integrate.py — behind-camera voxels must not
     # receive free-space updates (reference bug, not replicated).
@@ -224,8 +225,196 @@ def _kernel(
     new_d = (d * w + tsdf_obs) / new_w
     if cap_weight:
         new_w = jnp.minimum(new_w, max_weight)
-    out_tsdf_ref[0] = jnp.where(update, new_d, d)
-    out_weight_ref[0] = jnp.where(update, new_w, w)
+    out_tsdf_ref[0] = jnp.where(update, new_d, d).astype(
+        out_tsdf_ref.dtype
+    )
+    out_weight_ref[0] = jnp.where(update, new_w, w).astype(
+        out_weight_ref.dtype
+    )
+    miss_count = jnp.sum((in_img & ~matched).astype(jnp.int32))
+    out_miss_ref[0, 0] = jnp.full((8, _LANE), miss_count, jnp.int32)
+
+
+def _kernel_warped(
+    params_ref,  # (1, 24) f32 SMEM
+    depth_ref,  # (Hp, Wp) f32 VMEM
+    tsdf_ref,  # (1, Y, BX) VMEM
+    weight_ref,  # (1, Y, BX) VMEM
+    dx_ref,  # (1, Y, BX) f32 VMEM — deformed world centre x
+    dy_ref,  # (1, Y, BX) f32 VMEM
+    dz_ref,  # (1, Y, BX) f32 VMEM
+    out_tsdf_ref,
+    out_weight_ref,
+    out_miss_ref,
+    *,
+    Y: int,
+    BX: int,
+    Hp: int,
+    Wp: int,
+    Hr: int,
+    Wr: int,
+    Yr: int,
+    Xr: int,
+    nk: int,
+    cap_weight: bool,
+):
+    """Deformed-volume integrate (ref: the deformed-centre read in
+    integrate_kernel, src/TSDF/TSDFVolume.cu:337-343).
+
+    The warp breaks the rigid kernel's exact line structure, but not the
+    whole factorization: pass 1's candidate table is built from the
+    *undeformed* lattice lines, while pass 2 gathers per-voxel at the
+    *warped* image row — so arbitrary y-displacement is exact for free,
+    and only the x-displacement (in pixels) must fall inside the nk
+    candidate window. Out-of-window voxels are skipped and counted
+    (exact-or-skip, as the rigid kernel): callers escalate nk or fall
+    back to the lax path on a nonzero count.
+    """
+    z = pl.program_id(0)
+
+    p = params_ref
+    r00, r01, r02, t0 = p[0, 0], p[0, 1], p[0, 2], p[0, 3]
+    r10, r11, r12, t1 = p[0, 4], p[0, 5], p[0, 6], p[0, 7]
+    r20, r21, r22, t2 = p[0, 8], p[0, 9], p[0, 10], p[0, 11]
+    fx, fy, cx0, cy0 = p[0, 12], p[0, 13], p[0, 14], p[0, 15]
+    off_x, off_y, off_z = p[0, 16], p[0, 17], p[0, 18]
+    vs_x, vs_y, vs_z = p[0, 19], p[0, 20], p[0, 21]
+    trunc = p[0, 22]
+    max_weight = p[0, 23]
+
+    zf = z.astype(jnp.float32)
+    cz = off_z + (zf + 0.5) * vs_z
+    x0 = (pl.program_id(1) * BX).astype(jnp.float32)
+
+    xv_i = jax.lax.broadcasted_iota(jnp.int32, (Y, BX), 1)
+    yv_i = jax.lax.broadcasted_iota(jnp.int32, (Y, BX), 0)
+    vox_valid = (xv_i + pl.program_id(1) * BX < Xr) & (yv_i < Yr)
+
+    # --- exact per-voxel projection of the DEFORMED centres --------------
+    wx = dx_ref[0]
+    wy = dy_ref[0]
+    wz = dz_ref[0]
+    Xc = r00 * wx + r01 * wy + r02 * wz + t0
+    Yc = r10 * wx + r11 * wy + r12 * wz + t1
+    Zc = r20 * wx + r21 * wy + r22 * wz + t2
+    px = fx * Xc / Zc + cx0
+    py = fy * Yc / Zc + cy0
+    px = jnp.where(jnp.isfinite(px), jnp.clip(px, -_BIG, _BIG), -1.0)
+    py = jnp.where(jnp.isfinite(py), jnp.clip(py, -_BIG, _BIG), -1.0)
+    pxr = jnp.round(px).astype(jnp.int32)
+    pyr = jnp.round(py).astype(jnp.int32)
+    in_img = (
+        (pxr >= 0) & (pxr < Wr) & (pyr >= 0) & (pyr < Hr) & vox_valid
+    )
+
+    # --- rigid lattice line (candidate table axis), as in _kernel --------
+    kx = r02 * cz + t0
+    ky = r12 * cz + t1
+    kz = r22 * cz + t2
+    wx_row = off_x + (
+        jax.lax.broadcasted_iota(jnp.int32, (1, BX), 1).astype(jnp.float32)
+        + x0
+        + 0.5
+    ) * vs_x
+    wyA = off_y + 0.5 * vs_y
+    wyB = off_y + (Y - 0.5) * vs_y
+
+    def _project_row(wy_s):
+        Xr_ = r00 * wx_row + r01 * wy_s + kx
+        Yr_ = r10 * wx_row + r11 * wy_s + ky
+        Zr_ = r20 * wx_row + r21 * wy_s + kz
+        return fx * Xr_ / Zr_ + cx0, fy * Yr_ / Zr_ + cy0
+
+    pxA, pyA = _project_row(wyA)
+    pxB, pyB = _project_row(wyB)
+    denom = pyB - pyA
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    beta = (pxB - pxA) / denom
+    alpha = pxA - beta * pyA
+    beta = jnp.where(jnp.isfinite(beta), jnp.clip(beta, -_BIG, _BIG), 0.0)
+    alpha = jnp.where(
+        jnp.isfinite(alpha), jnp.clip(alpha, -_BIG, _BIG), -_BIG
+    )
+
+    # --- pass 1 (identical to the rigid kernel) --------------------------
+    y_img = jax.lax.broadcasted_iota(jnp.int32, (Hp, BX), 0).astype(
+        jnp.float32
+    )
+    c0 = jnp.round(jnp.clip(alpha + beta * y_img, -_BIG, _BIG)).astype(
+        jnp.int32
+    )
+    depth_full = depth_ref[...]
+    tmps = []
+    for k in range(nk):
+        ko = k - nk // 2
+        subs = []
+        for xsub in range(BX // _LANE):
+            sl = slice(xsub * _LANE, (xsub + 1) * _LANE)
+            idx = c0[:, sl] + ko
+            sub = jnp.zeros((Hp, _LANE), jnp.float32)
+            for cb in range(Wp // _LANE):
+                local = idx - cb * _LANE
+                valid = (local >= 0) & (local < _LANE)
+                g = jnp.take_along_axis(
+                    depth_full[:, cb * _LANE : (cb + 1) * _LANE],
+                    jnp.clip(local, 0, _LANE - 1),
+                    axis=1,
+                )
+                sub = jnp.where(valid, g, sub)
+            subs.append(sub)
+        tmps.append(jnp.concatenate(subs, axis=1))
+
+    # --- pass 2 at the WARPED rows + exact-column select -----------------
+    pyr_g = jnp.clip(pyr, 0, Hp - 1)
+    pyrT = pyr_g.T
+    c0r = jnp.round(
+        jnp.clip(alpha + beta * pyr.astype(jnp.float32), -_BIG, _BIG)
+    ).astype(jnp.int32)
+
+    depth_val = jnp.zeros((Y, BX), jnp.float32)
+    matched = jnp.zeros((Y, BX), jnp.bool_)
+    for k in range(nk):
+        ko = k - nk // 2
+        tkT = tmps[k].T
+        vsubs = []
+        for yvb in range(Y // _LANE):
+            ysl = slice(yvb * _LANE, (yvb + 1) * _LANE)
+            idx = pyrT[:, ysl]
+            sub = jnp.zeros((BX, _LANE), jnp.float32)
+            for cb2 in range(Hp // _LANE):
+                local = idx - cb2 * _LANE
+                valid = (local >= 0) & (local < _LANE)
+                g = jnp.take_along_axis(
+                    tkT[:, cb2 * _LANE : (cb2 + 1) * _LANE],
+                    jnp.clip(local, 0, _LANE - 1),
+                    axis=1,
+                )
+                sub = jnp.where(valid, g, sub)
+            vsubs.append(sub)
+        val_k = jnp.concatenate(vsubs, axis=1).T
+        match_k = (c0r + ko) == pxr
+        depth_val = jnp.where(match_k, val_k, depth_val)
+        matched = matched | match_k
+
+    # --- the TSDF update (identical math) --------------------------------
+    d = tsdf_ref[0].astype(jnp.float32)
+    w = weight_ref[0].astype(jnp.float32)
+    sdf = depth_val - Zc
+    update = (
+        in_img & (Zc > 0.0) & matched & (depth_val > 0.0)
+        & (sdf >= -trunc)
+    )
+    tsdf_obs = jnp.minimum(sdf, trunc)
+    new_w = w + 1.0
+    new_d = (d * w + tsdf_obs) / new_w
+    if cap_weight:
+        new_w = jnp.minimum(new_w, max_weight)
+    out_tsdf_ref[0] = jnp.where(update, new_d, d).astype(
+        out_tsdf_ref.dtype
+    )
+    out_weight_ref[0] = jnp.where(update, new_w, w).astype(
+        out_weight_ref.dtype
+    )
     miss_count = jnp.sum((in_img & ~matched).astype(jnp.int32))
     out_miss_ref[0, 0] = jnp.full((8, _LANE), miss_count, jnp.int32)
 
@@ -329,8 +518,8 @@ def integrate_pallas(
     new_tsdf, new_weight, miss = pl.pallas_call(
         kern,
         out_shape=(
-            jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
-            jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
+            jax.ShapeDtypeStruct((Z, Y, X), vol.tsdf.dtype),
+            jax.ShapeDtypeStruct((Z, Y, X), vol.weight.dtype),
             jax.ShapeDtypeStruct((Z, n_xb, 8, _LANE), jnp.int32),
         ),
         grid=(Z, n_xb),
@@ -351,6 +540,136 @@ def integrate_pallas(
         ),
         interpret=interpret,
     )(params, depth_f, tsdf, weight)
+
+    if (Y, X) != (Yr, Xr):
+        new_tsdf = new_tsdf[:, :Yr, :Xr]
+        new_weight = new_weight[:, :Yr, :Xr]
+
+    return (
+        vol.replace(tsdf=new_tsdf, weight=new_weight),
+        jnp.sum(miss[:, :, 0, 0]),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cap_weight", "nk", "interpret"),
+)
+def integrate_warped_pallas(
+    vol: TSDFVolume,
+    depth: jnp.ndarray,
+    camera: Camera,
+    cap_weight: bool = False,
+    nk: int = 5,
+    interpret: bool = False,
+) -> tuple[TSDFVolume, jnp.ndarray]:
+    """Fuse one depth frame into a DEFORMED volume with the warped
+    line-sweep kernel (non-rigid path; ref: deformed-centre integrate
+    src/TSDF/TSDFVolume.cu:337-343).
+
+    Exact-or-skip: a voxel whose warped projection falls outside the nk
+    candidate columns around its undeformed lattice line is skipped and
+    counted. Vertical (image-y) warp displacement is unbounded; the
+    horizontal budget is ~(nk-1)/2 pixels, so nk should exceed twice the
+    worst per-voxel x-displacement in pixels (~ fx * |warp_x| / depth).
+    Callers escalate nk or fall back to ops.integrate on misses (see
+    pipelines/scenefusion.py).
+
+    Returns (updated volume, miss count).
+    """
+    if vol.deform is None:
+        raise ValueError(
+            "integrate_warped_pallas needs vol.deform; use "
+            "integrate_pallas for rigid volumes"
+        )
+    Z, Yr, Xr = vol.tsdf.shape
+    Hr, Wr = depth.shape
+
+    Y = _round_up(Yr, _LANE)
+    X = _round_up(Xr, _LANE)
+    Hp = _round_up(Hr, _LANE)
+    Wp = _round_up(Wr, _LANE)
+
+    depth_f = jnp.asarray(depth, jnp.float32)
+    if (Hp, Wp) != (Hr, Wr):
+        depth_f = jnp.pad(depth_f, ((0, Hp - Hr), (0, Wp - Wr)))
+
+    tsdf = vol.tsdf
+    weight = vol.weight
+    # deformed world centres, split into 3 planes for (1, Y, BX) blocks
+    dx = vol.deform[..., 0]
+    dy = vol.deform[..., 1]
+    dz = vol.deform[..., 2]
+    if (Y, X) != (Yr, Xr):
+        pad = ((0, 0), (0, Y - Yr), (0, X - Xr))
+        tsdf = jnp.pad(tsdf, pad)
+        weight = jnp.pad(weight, pad)
+        # pad with 1.0 so padded voxels project finitely (and are masked)
+        dx = jnp.pad(dx, pad, constant_values=1.0)
+        dy = jnp.pad(dy, pad, constant_values=1.0)
+        dz = jnp.pad(dz, pad, constant_values=1.0)
+
+    BX = min(X, _LANE)
+    n_xb = X // BX
+
+    pose_inv = camera.pose_inv
+    params = jnp.concatenate(
+        [
+            pose_inv[0, 0:4],
+            pose_inv[1, 0:4],
+            pose_inv[2, 0:4],
+            jnp.stack(
+                [
+                    camera.k[0, 0],
+                    camera.k[1, 1],
+                    camera.k[0, 2],
+                    camera.k[1, 2],
+                ]
+            ),
+            vol.offset,
+            vol.voxel_size,
+            jnp.stack(
+                [
+                    vol.truncation_distance.astype(jnp.float32),
+                    vol.max_weight.astype(jnp.float32),
+                ]
+            ),
+        ]
+    ).reshape(1, 24)
+
+    kern = partial(
+        _kernel_warped,
+        Y=Y, BX=BX, Hp=Hp, Wp=Wp, Hr=Hr, Wr=Wr, Yr=Yr, Xr=Xr,
+        nk=nk, cap_weight=cap_weight,
+    )
+
+    vol_spec = pl.BlockSpec(
+        (1, Y, BX), lambda z, xb: (z, 0, xb), memory_space=pltpu.VMEM
+    )
+    new_tsdf, new_weight, miss = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((Z, Y, X), vol.tsdf.dtype),
+            jax.ShapeDtypeStruct((Z, Y, X), vol.weight.dtype),
+            jax.ShapeDtypeStruct((Z, n_xb, 8, _LANE), jnp.int32),
+        ),
+        grid=(Z, n_xb),
+        in_specs=[
+            pl.BlockSpec((1, 24), lambda z, xb: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((Hp, Wp), lambda z, xb: (0, 0), memory_space=pltpu.VMEM),
+            vol_spec, vol_spec, vol_spec, vol_spec, vol_spec,
+        ],
+        out_specs=(
+            vol_spec,
+            vol_spec,
+            pl.BlockSpec(
+                (1, 1, 8, _LANE),
+                lambda z, xb: (z, xb, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        interpret=interpret,
+    )(params, depth_f, tsdf, weight, dx, dy, dz)
 
     if (Y, X) != (Yr, Xr):
         new_tsdf = new_tsdf[:, :Yr, :Xr]

@@ -112,7 +112,7 @@ def _sweep(
         zi_c = jnp.clip(zi, 0, Z - 1)
         slab = jax.lax.dynamic_index_in_dim(
             tsdf, zi_c, axis=0, keepdims=False
-        )  # (Yr, Xr)
+        ).astype(jnp.float32)  # (Yr, Xr); bf16 storage reads half the HBM
         zk = off[2] + (zi.astype(jnp.float32) + 0.5) * vs[2]
         su = (zk - o_z) / vs[0]
         sv = (zk - o_z) / vs[1]

@@ -99,9 +99,12 @@ def integrate(
     # ref: TSDFVolume.cu:365-372).
     tsdf_obs = jnp.minimum(sdf, trunc)
 
-    prior_w = vol.weight
+    # Compute in f32 regardless of the storage dtype (bf16 volumes store
+    # half the HBM bytes; the update math must not run at 8-bit mantissa).
+    prior_d = vol.tsdf.astype(jnp.float32)
+    prior_w = vol.weight.astype(jnp.float32)
     new_w = prior_w + 1.0
-    new_d = (vol.tsdf * prior_w + tsdf_obs) / new_w
+    new_d = (prior_d * prior_w + tsdf_obs) / new_w
     if cap_weight:
         new_w = jnp.minimum(new_w, vol.max_weight)
 
@@ -136,7 +139,7 @@ def integrate(
         ).astype(jnp.uint8)
 
     return vol.replace(
-        tsdf=jnp.where(update, new_d, vol.tsdf),
-        weight=jnp.where(update, new_w, vol.weight),
+        tsdf=jnp.where(update, new_d, prior_d).astype(vol.tsdf.dtype),
+        weight=jnp.where(update, new_w, prior_w).astype(vol.weight.dtype),
         color=new_color,
     )

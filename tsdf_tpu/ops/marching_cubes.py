@@ -118,6 +118,7 @@ def _extract_arrays(
         path: convert brick-local to global indices).
     """
     Z, Y, X = d.shape
+    d = jnp.asarray(d, jnp.float32)  # bf16 storage: interpolate in f32
     inside = d < 0.0
 
     # --- phase 1: classify -------------------------------------------------

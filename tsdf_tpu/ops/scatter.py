@@ -1,0 +1,208 @@
+"""TPU scatter-add without scatter hardware: sorted-window one-hot matmuls.
+
+The adjoint of every gather stencil in this framework (the trilinear
+8-tap sample ref: src/RayCaster/GPURaycaster.cu:53-124, the marching-
+cubes compaction writes ref: src/MarchingCubes/MarkAndSweepMC.cu:219-304)
+is a scatter-add. XLA:TPU lowers generic scatter to a serial per-element
+loop with pathological compile times at volume scale (measured round 1:
+512^3 adjoints would not compile in minutes). The TPU also has no
+scatter unit Mosaic could target. What the TPU *does* have is an MXU
+that turns a one-hot matmul into an exact f32 row-scatter:
+
+    patch[r, l] = sum_c M[c, r] * V[c, l],   M one-hot in r, V one-hot
+                                             in l scaled by the value
+
+so a batch of C contributions (linear index, value) lands in a dense
+(RP, 128) patch with two VPU compares and one matmul. The full algorithm:
+
+  1. view the flat output as rows of 128 lanes; row = lin >> 7,
+     lane = lin & 127;
+  2. sort contributions by lin (XLA sort; skipped when the caller's
+     stream is already sorted, e.g. cumsum-offset writes);
+  3. walk the sorted stream with a window of K contributions: each
+     iteration builds the one-hot pair for every contribution within RP
+     rows of the window head, matmuls it into a patch, adds the patch
+     into the output with dynamic_slice/dynamic_update_slice (in-place
+     inside the XLA while loop), and advances the cursor by the number
+     of contributions consumed — duplicates simply accumulate in the
+     matmul, so no dedup pass is needed.
+
+Everything is static-shaped; the only data-dependence is the while-loop
+trip count (~C/K for surface-like index distributions). Cost per window:
+one (K, RP) x (K, 128) f32 matmul — MXU work, not VPU loops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_LANE = 128
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+@partial(
+    jax.jit, static_argnames=("n", "window", "rows_per_patch", "is_sorted")
+)
+def scatter_add_flat(
+    n: int,
+    lin: jnp.ndarray,
+    val: jnp.ndarray,
+    window: int = 2048,
+    rows_per_patch: int = 256,
+    is_sorted: bool = False,
+) -> jnp.ndarray:
+    """out = zeros(n); out[lin[c]] += val[..., c] for every c; returns out.
+
+    Args:
+      n: static output length.
+      lin: (C,) int32 target indices. Entries outside [0, n) are dropped
+        (the standard jit-friendly "mask by pointing off the end" idiom).
+      val: (C,) or (D, C) f32 values — D payload channels scattered with
+        the same indices (one one-hot build, D matmuls).
+      window: contributions considered per loop step (static).
+      rows_per_patch: dense rows materialised per step (static). Windows
+        spanning more rows than this consume a prefix and the cursor
+        advances — exactness never depends on the tuning values.
+      is_sorted: skip the sort when lin is already non-decreasing
+        (cumsum-offset writes; required property is asserted nowhere —
+        callers own it).
+
+    Returns:
+      (n,) f32 or (D, n) f32.
+    """
+    squeeze = val.ndim == 1
+    vals = val[None, :] if squeeze else val
+    D, C = vals.shape
+    assert lin.shape == (C,), (lin.shape, vals.shape)
+
+    K = int(window)
+    RP = int(rows_per_patch)
+    nr = max(_round_up(n, _LANE) // _LANE, RP)
+
+    lin = jnp.asarray(lin, jnp.int32)
+    vals = jnp.asarray(vals, jnp.float32)
+    # invalid -> one past the last row block; sorts to the end, never
+    # matches a patch row
+    lin = jnp.where((lin < 0) | (lin >= n), nr * _LANE, lin)
+
+    if not is_sorted:
+        lin, *vs = jax.lax.sort([lin] + list(vals), num_keys=1)
+        vals = jnp.stack(vs)
+
+    # pad so the cursor's dynamic window never reads out of bounds
+    lin = jnp.concatenate([lin, jnp.full((K,), nr * _LANE, jnp.int32)])
+    vals = jnp.pad(vals, ((0, 0), (0, K)))
+
+    out = jnp.zeros((D, nr, _LANE), jnp.float32)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (K, RP), 1)
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (K, _LANE), 1)
+
+    def cond(state):
+        c, _ = state
+        # stop once the cursor reaches the invalid/padding tail
+        return jax.lax.dynamic_slice(lin, (c,), (1,))[0] < nr * _LANE
+
+    def body(state):
+        c, out = state
+        lw = jax.lax.dynamic_slice(lin, (c,), (K,))
+        rows = lw >> 7
+        lanes = lw & (_LANE - 1)
+        r0 = jnp.minimum(rows[0], nr - RP)
+        local = rows - r0
+        in_patch = local < RP  # sorted => a prefix of the window
+        count = jnp.sum(in_patch.astype(jnp.int32))
+        m = ((local[:, None] == r_iota) & in_patch[:, None]).astype(
+            jnp.float32
+        )  # (K, RP)
+        lane_oh = (lanes[:, None] == l_iota).astype(jnp.float32)  # (K, 128)
+
+        def add_payload(d, out):
+            vw = jax.lax.dynamic_slice(vals, (d, c), (1, K))[0]
+            patch = jax.lax.dot_general(
+                m,
+                lane_oh * vw[:, None],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (RP, 128)
+            blk = jax.lax.dynamic_slice(out, (d, r0, 0), (1, RP, _LANE))
+            return jax.lax.dynamic_update_slice(
+                out, blk + patch[None], (d, r0, 0)
+            )
+
+        out = jax.lax.fori_loop(0, D, add_payload, out)
+        return c + count, out
+
+    _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), out))
+    out = out.reshape(D, nr * _LANE)[:, :n]
+    return out[0] if squeeze else out
+
+
+def scatter_set_int(
+    n: int,
+    lin: jnp.ndarray,
+    val: jnp.ndarray,
+    is_sorted: bool = False,
+) -> jnp.ndarray:
+    """out = zeros(n, i32); out[lin[c]] = val[..., c]; unique targets.
+
+    Integer payloads ride the f32 matmul scatter in two 12-bit halves
+    (f32 holds integers exactly to 2^24; volume-scale indices reach
+    2^27+). Callers guarantee each in-range target is written at most
+    once — with a zero base and unique targets, add == set.
+    """
+    squeeze = val.ndim == 1
+    v = val[None, :] if squeeze else val
+    v = jnp.asarray(v)
+    lo = (v & 0xFFF).astype(jnp.float32)
+    hi = (v >> 12).astype(jnp.float32)
+    out = scatter_add_flat(
+        n,
+        lin,
+        jnp.concatenate([lo, hi], axis=0),
+        is_sorted=is_sorted,
+    )
+    d = v.shape[0]
+    res = (
+        jnp.round(out[:d]).astype(jnp.int32)
+        + (jnp.round(out[d:]).astype(jnp.int32) << 12)
+    )
+    return res[0] if squeeze else res
+
+
+# ---------------------------------------------------------------------------
+# Gather whose adjoint is the matmul scatter (instead of XLA scatter-add).
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def take_flat(flat: jnp.ndarray, lin: jnp.ndarray) -> jnp.ndarray:
+    """flat[lin] with clamped indices — identical forward to jnp.take,
+    but its VJP into ``flat`` runs through ``scatter_add_flat`` so
+    volume-scale adjoints (512^3 differentiable raycast) compile and run
+    on TPU (round-1 gap: XLA's scatter lowering did not)."""
+    return jnp.take(flat, lin, axis=0, mode="clip")
+
+
+def _take_flat_fwd(flat, lin):
+    # zero-length probe carries the primal dtype into the backward pass
+    return take_flat(flat, lin), (
+        jnp.zeros((0,), flat.dtype), flat.shape[0], lin
+    )
+
+
+def _take_flat_bwd(res, g):
+    probe, n, lin = res
+    # forward clamps: replicate so the cotangent lands where the read came
+    lin_flat = jnp.clip(lin.ravel(), 0, n - 1)
+    df = scatter_add_flat(n, lin_flat, g.ravel().astype(jnp.float32))
+    return df.astype(probe.dtype), np.zeros(lin.shape, jax.dtypes.float0)
+
+
+take_flat.defvjp(_take_flat_fwd, _take_flat_bwd)

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .scatter import take_flat
+
 
 def trilinear_sample(values: jnp.ndarray, points, voxel_size) -> jnp.ndarray:
     """Sample ``values`` at grid-local points.
@@ -60,11 +62,16 @@ def trilinear_sample(values: jnp.ndarray, points, voxel_size) -> jnp.ndarray:
 
     def tap(dx, dy, dz):
         # Clamp each tap into the grid (ref: TSDF_utilities.cu:29-37).
+        # take_flat: identical forward to jnp.take, but the adjoint into
+        # the grid is the sorted-window matmul scatter (ops/scatter.py)
+        # so volume-scale dL/dtsdf compiles and runs on TPU.
         idx = jnp.minimum(
             lower + jnp.array([dx, dy, dz], dtype=jnp.int32), size_i - 1
         )
         lin = (idx[..., 2] * sy + idx[..., 1]) * sx + idx[..., 0]
-        return jnp.take(flat, lin, axis=0)
+        # cast AFTER the gather: bf16 volumes stream half the bytes and
+        # the blend still runs f32
+        return take_flat(flat, lin).astype(jnp.float32)
 
     c000 = tap(0, 0, 0)
     c001 = tap(0, 0, 1)

@@ -104,11 +104,64 @@ def integrate_sharded(
     camera: Camera,
     mesh: Mesh,
     cap_weight: bool = False,
-) -> TSDFVolume:
-    """Brick-parallel depth integration. No collectives.
+    use_pallas: bool | None = None,
+    nk: int = 3,
+    interpret: bool | None = None,
+    return_miss: bool = False,
+):
+    """Brick-parallel depth integration. No collectives in the update
+    itself (one psum folds the per-brick miss counters).
+
+    The rigid path composes the line-warp Pallas kernel
+    (kernels/integrate.py) inside the shard_map — the brick decomposition
+    of the reference's ``integrate_kernel`` launch (ref:
+    src/TSDF/TSDFVolume.cu:889-892) carried onto the device mesh at full
+    single-chip kernel speed per brick. Deformed volumes use the lax
+    path (also the gradient path).
 
     Requires vol.tsdf.shape[0] % mesh.shape["b"] == 0.
+
+    Returns the updated volume, or (volume, miss_count) when
+    ``return_miss`` (Pallas path only; the lax path misses nothing).
     """
+    has_deform = vol.deform is not None
+    if use_pallas is None:
+        use_pallas = not has_deform
+    if use_pallas and has_deform:
+        raise ValueError(
+            "the Pallas integrate is the rigid path; deformed volumes "
+            "integrate through the lax path (use_pallas=False)"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out, miss = _integrate_sharded_jit(
+        vol, jnp.asarray(depth, jnp.float32), camera, mesh=mesh,
+        cap_weight=cap_weight, use_pallas=use_pallas, nk=nk,
+        interpret=interpret,
+    )
+    return (out, miss) if return_miss else out
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "cap_weight", "use_pallas", "nk", "interpret",
+    ),
+)
+def _integrate_sharded_jit(
+    vol: TSDFVolume,
+    depth: jnp.ndarray,
+    camera: Camera,
+    *,
+    mesh: Mesh,
+    cap_weight: bool,
+    use_pallas: bool,
+    nk: int,
+    interpret: bool,
+):
+    # One jit around the whole shard_map: without it every frame re-trace
+    # + eager per-op dispatch through the remote tunnel made the sharded
+    # path ~1000x slower than the kernel it wraps (measured round 2).
     nb = mesh.shape["b"]
     has_deform = vol.deform is not None
 
@@ -121,8 +174,18 @@ def integrate_sharded(
         cam = Camera(
             k=k, k_inv=jnp.linalg.inv(k), pose=pose, pose_inv=pose_inv
         )
-        out = integrate(lvol, depth, cam, cap_weight=cap_weight)
-        return out.tsdf, out.weight
+        if use_pallas:
+            from ..kernels.integrate import integrate_pallas
+
+            out, miss = integrate_pallas(
+                lvol, depth, cam, cap_weight=cap_weight, nk=nk,
+                interpret=interpret,
+            )
+            miss = jax.lax.psum(miss, "b")
+        else:
+            out = integrate(lvol, depth, cam, cap_weight=cap_weight)
+            miss = jnp.int32(0)
+        return out.tsdf, out.weight, miss
 
     if has_deform:
         deform_arg = vol.deform
@@ -139,13 +202,16 @@ def integrate_sharded(
             P("b"), P("b"), deform_spec, P(), P(), P(), P(), P(), P(),
             P(), P(),
         ),
-        out_specs=(P("b"), P("b")),
+        out_specs=(P("b"), P("b"), P()),
+        # pallas_call emits ShapeDtypeStructs without vma annotations;
+        # varying-mesh-axis checking cannot see through it
+        check_vma=False,
     )
-    new_tsdf, new_weight = fn(
+    new_tsdf, new_weight, miss = fn(
         vol.tsdf,
         vol.weight,
         deform_arg,
-        jnp.asarray(depth, jnp.float32),
+        depth,
         camera.k,
         camera.pose,
         camera.pose_inv,
@@ -154,7 +220,7 @@ def integrate_sharded(
         vol.truncation_distance,
         vol.max_weight,
     )
-    return vol.replace(tsdf=new_tsdf, weight=new_weight)
+    return vol.replace(tsdf=new_tsdf, weight=new_weight), miss
 
 
 @partial(

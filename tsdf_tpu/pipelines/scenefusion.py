@@ -49,6 +49,13 @@ class SceneFusionConfig:
     threshold_mm: float = CORRESPONDENCE_THRESHOLD_MM
     max_cubes: int = 1 << 18
     max_vertices: int = 1 << 20
+    # TPU path for the deformed-volume integrate: the warped line-sweep
+    # kernel (kernels/integrate.py:integrate_warped_pallas). nk bounds
+    # the tolerated horizontal warp in pixels (~(nk-1)/2); frames whose
+    # exact-or-skip miss counter fires fall back to the lax path so no
+    # observation is ever lost.
+    use_pallas: bool = True
+    integrate_nk: int = 5
 
     def make_volume(self) -> TSDFVolume:
         return make_volume(
@@ -168,11 +175,28 @@ class SceneFusion:
                 jnp.asarray(flow),
                 cfg.threshold_mm,
             )
-        self.volume = integrate(self.volume, depth, self.camera)
+        self.volume = self._integrate(depth)
         self.last_depth = depth
         if self.dump_every and self.frame_index % self.dump_every == 0:
             self.dump(self.frame_index)
         self.frame_index += 1
+
+    def _integrate(self, depth: jnp.ndarray) -> TSDFVolume:
+        """Deformed-volume integrate: warped Pallas kernel with lax
+        fallback when the exact-or-skip miss counter fires (accumulated
+        warps can exceed the kernel's horizontal pixel budget)."""
+        cfg = self.config
+        if cfg.use_pallas:
+            from ..kernels.integrate import integrate_warped_pallas
+
+            interpret = jax.default_backend() != "tpu"
+            out, miss = integrate_warped_pallas(
+                self.volume, depth, self.camera,
+                nk=cfg.integrate_nk, interpret=interpret,
+            )
+            if int(miss) == 0:
+                return out
+        return integrate(self.volume, depth, self.camera)
 
     def dump(self, index: int) -> None:
         """Periodic checkpoint + canonical and warped meshes

@@ -163,6 +163,16 @@ class TSDFVolume:
             color=jnp.zeros(self.tsdf.shape + (3,), jnp.uint8)
         )
 
+    def astype(self, dtype) -> "TSDFVolume":
+        """Recast the dense tsdf/weight storage (e.g. jnp.bfloat16 to
+        halve the HBM stream of every integrate/raycast; all compute
+        paths read-cast to f32). bf16 weights count integer frames
+        exactly up to 256 — pair with ``cap_weight`` (the reference's
+        max_weight is 15) for long sequences."""
+        return self.replace(
+            tsdf=self.tsdf.astype(dtype), weight=self.weight.astype(dtype)
+        )
+
 
 def make_volume(
     size: tuple[int, int, int],
