@@ -41,6 +41,17 @@ def _bench(fn, *args, iters=10, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
+def _note(msg, _t0=[None]):
+    import time as _t
+
+    if _t0[0] is None:
+        _t0[0] = _t.perf_counter()
+    print(
+        f"[bench +{_t.perf_counter() - _t0[0]:7.1f}s] {msg}",
+        file=sys.stderr, flush=True,
+    )
+
+
 def main():
     import jax
 
@@ -65,34 +76,38 @@ def main():
     vol = make_volume(
         (grid, grid, grid), 3000.0, offset=(-1500.0, -1500.0, 0.0)
     )
+    # GENERIC off-axis pose — the shipped default configuration, not the
+    # axis-aligned best case (round-1 verdict: bench the default).
     camera = (
         Camera.default_depth_camera()
-        .move_to([0.0, 0.0, -500.0])
-        .look_at([0.0, 0.0, 1500.0])
+        .move_to([300.0, -200.0, -500.0])
+        .look_at([50.0, 80.0, 1500.0])
     )
     depth = jnp.asarray(
         fixtures.sphere_depth_map(width, height, 150.0, 1000.0, 2500.0)
     )
 
-    # Chained (volume fed back) — the real fusion-loop shape. nk=1 is the
-    # fast candidate count; the exact-or-skip miss counters are collected
-    # asynchronously and verified ONCE after timing (a per-frame readback
-    # would serialize on the device sync), so every timed frame is proven
-    # exact.
+    # Chained (volume fed back) — the real fusion-loop shape, in the
+    # pipeline-default "line" mode (nk=1 speed for any upright-ish pose).
+    # The exact-or-skip miss counters are collected asynchronously and
+    # verified ONCE after timing (a per-frame readback would serialize on
+    # the device sync), so every timed frame is proven loss-free.
     from tsdf_tpu.kernels import integrate_pallas
 
-    v, miss = integrate_pallas(vol, depth, camera, nk=1)  # warmup/compile
+    _note("integrate warmup/compile")
+    v, miss = integrate_pallas(vol, depth, camera, mode="line")
     _sync(v.weight)
     iters = 10
     misses = []
     t0 = time.perf_counter()
     for _ in range(iters):
-        v, miss = integrate_pallas(v, depth, camera, nk=1)
+        v, miss = integrate_pallas(v, depth, camera, mode="line")
         misses.append(miss)
     _sync(v.weight)
     dt_int = (time.perf_counter() - t0) / iters
     assert sum(int(m) for m in misses) == 0
     voxel_updates_per_s = grid**3 / dt_int
+    _note(f"integrate done: {dt_int*1e3:.1f} ms")
 
     # Raycast a fused sphere volume (sphere mode, the production path).
     vol2 = fixtures.sphere_tsdf(
@@ -109,8 +124,10 @@ def main():
         verts, normals = raycast_pallas(v, c, width=width, height=height)
         return verts
 
+    _note("raycast warmup/compile")
     dt_ray = _bench(ray_fn, vol2, cam2)
     rays_per_s = width * height / dt_ray
+    _note(f"raycast done: {dt_ray*1e3:.1f} ms")
 
     # Full tracked KinectFusion loop (bilateral + banded ICP vs model
     # render + integrate) at 256^3 — the BASELINE config-3 shape.
@@ -127,11 +144,13 @@ def main():
             tsdf=jnp.minimum(scene.tsdf, wall.tsdf),
             weight=jnp.ones_like(scene.weight),
         )
+        n_kf = 12  # enough frames that the mean is stable (r1 verdict:
+        # the driver-visible number must match the curated one)
         cams = [
             Camera.default_depth_camera()
             .move_to([30.0 * t, -20.0 * t, -500.0])
             .look_at([0.0, 0.0, 1500.0])
-            for t in (0.0, 0.25, 0.5, 0.75, 1.0)
+            for t in [i / (n_kf - 1.0) for i in range(n_kf)]
         ]
 
         def depth_of(c):
@@ -143,8 +162,10 @@ def main():
                 jnp.isfinite(verts).all(-1), camz, 0.0
             ).astype(jnp.float32)
 
+        _note("kinfu frame generation")
         frames = [depth_of(c) for c in cams]
         _sync(frames[-1])
+        _note("kinfu warmup")
         kvol = make_volume(
             (256,) * 3, 3000.0, offset=(-1500.0, -1500.0, 0.0)
         )
@@ -154,11 +175,21 @@ def main():
         )
         v2, *_ = track_and_fuse_frames(kvol, cams[0], frames[:2], cfg)
         _sync(v2.weight)  # warm the compiles
-        t0 = time.perf_counter()
-        vfin, *_ = track_and_fuse_frames(kvol, cams[0], frames, cfg)
-        _sync(vfin.weight)
-        kinfu_ms = (time.perf_counter() - t0) / len(frames) * 1e3
-    except Exception:
+        # median of 3 full-loop runs: the tunnel adds multi-ms jitter per
+        # dispatch, so single-run numbers swung 2x in round 1
+        _note("kinfu timed runs")
+        per_frame = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            vfin, *_ = track_and_fuse_frames(kvol, cams[0], frames, cfg)
+            _sync(vfin.weight)
+            per_frame.append(
+                (time.perf_counter() - t0) / len(frames) * 1e3
+            )
+        kinfu_ms = float(np.median(per_frame))
+        _note(f"kinfu done: {per_frame}")
+    except Exception as e:
+        _note(f"kinfu failed: {type(e).__name__}: {e}")
         kinfu_ms = None
 
     baseline = None

@@ -142,3 +142,46 @@ def test_icp_cli(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "lastError" in out and "lastInliers" in out
+
+
+def test_fuse_tracked_pallas(tum_dir, tmp_path):
+    """--track --pallas: the full tracked loop (banded ICP vs model
+    render, line-mode Pallas integrate) through the CLI, streaming
+    frames (r1 verdict weak 9)."""
+    out_tsdf = tmp_path / "tracked.tsdf"
+    rc = main(
+        [
+            "fuse", "-d", str(tum_dir), "-m", "3", "-s", "48",
+            "--physical", "2000", "--track", "--pallas", "--filter",
+            "-o", str(out_tsdf),
+            "--scene", str(tmp_path / "s.png"),
+            "--normals", str(tmp_path / "n.png"),
+            "--mesh", "",
+        ]
+        + CAM_ARGS
+    )
+    assert rc == 0
+    vol = load_tsdf(str(out_tsdf))
+    assert float(jnp.sum(vol.weight)) > 0
+
+
+def test_fuse_empty_dir_errors(tmp_path):
+    d = tmp_path / "empty"
+    (d / "depth").mkdir(parents=True)
+    (d / "ground_truth.txt").write_text("")
+    rc = main(
+        ["fuse", "-d", str(d), "-m", "5", "-s", "32"] + CAM_ARGS
+    )
+    assert rc == 1
+
+
+def test_view_cli(tmp_path):
+    vol = _scene_volume()
+    p = tmp_path / "v.tsdf"
+    save_tsdf(vol, str(p))
+    outdir = tmp_path / "slices"
+    rc = main(["view", "-f", str(p), "-o", str(outdir)])
+    assert rc == 0
+    for name in ("top.png", "right.png", "front.png"):
+        img = load_png(outdir / name)
+        assert img.ndim >= 2 and img.size > 0

@@ -226,3 +226,35 @@ def test_warped_pallas_counts_misses_on_excess_x_warp():
         np.asarray(out.tsdf)[upd], np.asarray(ref.tsdf)[upd],
         rtol=0, atol=5e-3,
     )
+
+
+def test_line_mode_generic_pose_zero_misses():
+    # line mode: nk=1 with zero misses for a generic (off-axis) pose;
+    # results match the exact mode except at f32 half-pixel slivers
+    from tsdf_tpu import Camera, make_volume
+    from tsdf_tpu.kernels.integrate import integrate_pallas
+    from tsdf_tpu.utils import fixtures
+
+    vol = make_volume((32, 32, 32), 2000.0, offset=(-1000, -1000, 0))
+    cam = (
+        Camera.default_depth_camera()
+        .move_to([300.0, -200.0, -500.0])
+        .look_at([50.0, 80.0, 1000.0])
+    )
+    depth = fixtures.sphere_depth_map(64, 48, 20.0, 800.0, 1200.0)
+
+    exact, miss_e = integrate_pallas(vol, depth, cam, nk=3, interpret=True)
+    line, miss_l = integrate_pallas(
+        vol, depth, cam, mode="line", interpret=True
+    )
+    assert int(miss_e) == 0 and int(miss_l) == 0
+    we = np.asarray(exact.weight)
+    wl = np.asarray(line.weight)
+    # the two rounding conventions agree on essentially every voxel
+    agree = (we == wl).mean()
+    assert agree > 0.995, agree
+    both = (we > 0) & (wl > 0)
+    np.testing.assert_allclose(
+        np.asarray(line.tsdf)[both], np.asarray(exact.tsdf)[both],
+        rtol=0, atol=5.0,  # a differing neighbour pixel moves sdf < 5mm here
+    )

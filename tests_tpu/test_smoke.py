@@ -1,0 +1,117 @@
+"""Compiled-kernel == lax equality on the real TPU (small shapes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tsdf_tpu import Camera, integrate, make_volume, raycast
+from tsdf_tpu.kernels.gather import lane_gather_op
+from tsdf_tpu.kernels.integrate import (
+    integrate_pallas,
+    integrate_warped_pallas,
+)
+from tsdf_tpu.kernels.raycast import raycast_pallas
+from tsdf_tpu.ops.scatter import scatter_add_flat
+from tsdf_tpu.utils import fixtures
+
+W, H = 160, 120
+FX, FY, CX, CY = 591.1 / 4, 590.1 / 4, 331.0 / 4, 234.6 / 4
+
+
+def _cam(off=False):
+    pos = [300.0, -200.0, -500.0] if off else [0.0, 0.0, -500.0]
+    return (
+        Camera.from_intrinsics(FX, FY, CX, CY)
+        .move_to(pos)
+        .look_at([0.0, 0.0, 1000.0])
+    )
+
+
+def _sync(x):
+    return float(jnp.sum(jnp.where(jnp.isfinite(x), x, 0.0)))
+
+
+def test_integrate_compiled_matches_lax():
+    vol = make_volume((64,) * 3, 2000.0, offset=(-1000, -1000, 0))
+    depth = jnp.asarray(fixtures.sphere_depth_map(W, H, 40.0, 800.0, 1200.0))
+    for mode, kw in (("exact", dict(nk=3)), ("line", dict(mode="line"))):
+        out, miss = integrate_pallas(vol, depth, _cam(off=True), **kw)
+        ref = integrate(vol, depth, _cam(off=True))
+        assert int(miss) == 0, mode
+        w_equal = (
+            np.asarray(out.weight) == np.asarray(ref.weight)
+        ).mean()
+        # exact: bit-equal; line: a few half-pixel-sliver voxels differ
+        assert w_equal >= (1.0 if mode == "exact" else 0.995), mode
+        both = (np.asarray(out.weight) > 0) & (np.asarray(ref.weight) > 0)
+        np.testing.assert_allclose(
+            np.asarray(out.tsdf)[both], np.asarray(ref.tsdf)[both],
+            rtol=0, atol=5.0,
+        )
+
+
+def test_integrate_warped_compiled_matches_lax():
+    vol = make_volume(
+        (32,) * 3, 2000.0, offset=(-1000, -1000, 0), with_deformation=True
+    )
+    z = jnp.arange(32, dtype=jnp.float32)[:, None, None, None]
+    disp = jnp.concatenate(
+        [
+            1.5 * jnp.sin(z / 5.0)
+            * jnp.ones(vol.deform.shape[:-1])[..., None],
+            30.0 * jnp.cos(z / 7.0)
+            * jnp.ones(vol.deform.shape[:-1])[..., None],
+            jnp.zeros(vol.deform.shape[:-1])[..., None],
+        ],
+        axis=-1,
+    )
+    vol = vol.replace(deform=vol.deform + disp)
+    depth = jnp.asarray(fixtures.sphere_depth_map(W, H, 40.0, 800.0, 1200.0))
+    out, miss = integrate_warped_pallas(vol, depth, _cam(), nk=5)
+    ref = integrate(vol, depth, _cam())
+    assert int(miss) == 0
+    np.testing.assert_array_equal(
+        np.asarray(out.weight), np.asarray(ref.weight)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.tsdf), np.asarray(ref.tsdf), rtol=0, atol=5e-2
+    )
+
+
+def test_raycast_compiled_matches_lax():
+    vol = fixtures.sphere_tsdf(
+        make_volume((64,) * 3, 2000.0, offset=(-1000, -1000, 0)), 400.0
+    )
+    cam = (
+        Camera.from_intrinsics(FX, FY, CX, CY)
+        .move_to([150.0, -100.0, -600.0])
+        .look_at([0.0, 0.0, 1000.0])
+    )
+    vp, _ = raycast_pallas(vol, cam, W, H)
+    vr, _ = raycast(vol, cam, width=W, height=H)
+    hp = np.isfinite(np.asarray(vp)).all(-1)
+    hr = np.isfinite(np.asarray(vr)).all(-1)
+    assert (hp == hr).mean() > 0.995
+    both = hp & hr
+    err = np.linalg.norm(np.asarray(vp)[both] - np.asarray(vr)[both], axis=-1)
+    assert np.median(err) < 1.0
+
+
+def test_lane_gather_compiled():
+    rng = np.random.RandomState(0)
+    table = jnp.asarray(rng.randn(64, 640).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 640, size=(64, 256)).astype(np.int32))
+    out = lane_gather_op(table, idx)
+    ref = np.take_along_axis(np.asarray(table), np.asarray(idx), axis=1)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_scatter_add_compiled():
+    n = 1 << 16
+    rng = np.random.RandomState(1)
+    lin = rng.randint(0, n, size=5000).astype(np.int32)
+    val = rng.randn(5000).astype(np.float32)
+    out = np.asarray(scatter_add_flat(n, jnp.asarray(lin), jnp.asarray(val)))
+    ref = np.zeros(n, np.float32)
+    np.add.at(ref, lin, val)
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-4)

@@ -76,6 +76,7 @@ def _kernel(
     Xr: int,
     nk: int,
     cap_weight: bool,
+    line_mode: bool = False,
 ):
     z = pl.program_id(0)
     xb = pl.program_id(1)
@@ -184,6 +185,19 @@ def _kernel(
         jnp.clip(alpha + beta * pyr.astype(jnp.float32), -_BIG, _BIG)
     ).astype(jnp.int32)  # (Y, BX) candidate base column at the fetched row
 
+    if line_mode:
+        # Line mode: the projection of a voxel column IS a straight
+        # image line (projective maps send lines to lines), so the
+        # line-evaluated column equals the per-voxel projection up to
+        # f32 rounding and the row-rounding convention (<= |beta|/2 px).
+        # Sample it directly: nk=1 with zero misses for any pose with
+        # |beta| <= 1; steeper lines (extreme roll) are skipped and
+        # counted, as exact mode does.
+        pxr = c0r
+        in_img = (
+            (c0r >= 0) & (c0r < Wr) & (pyr >= 0) & (pyr < Hr) & vox_valid
+        )
+
     depth_val = jnp.zeros((Y, BX), jnp.float32)
     matched = jnp.zeros((Y, BX), jnp.bool_)
     for k in range(nk):
@@ -208,6 +222,11 @@ def _kernel(
         match_k = (c0r + ko) == pxr
         depth_val = jnp.where(match_k, val_k, depth_val)
         matched = matched | match_k
+
+    if line_mode:
+        # steep lines (|beta| > 1, extreme roll) fall outside the
+        # row-line convention: skip and count
+        matched = matched & (jnp.abs(beta) <= 1.0)
 
     # --- the TSDF update (identical math to ops/integrate.py) ------------
     # storage may be bf16 (half the HBM stream); compute stays f32
@@ -421,7 +440,7 @@ def _kernel_warped(
 
 @partial(
     jax.jit,
-    static_argnames=("cap_weight", "nk", "interpret"),
+    static_argnames=("cap_weight", "nk", "interpret", "mode"),
 )
 def integrate_pallas(
     vol: TSDFVolume,
@@ -430,23 +449,43 @@ def integrate_pallas(
     cap_weight: bool = False,
     nk: int = 3,
     interpret: bool = False,
+    mode: str = "exact",
 ) -> tuple[TSDFVolume, jnp.ndarray]:
     """Fuse one depth frame (rigid path) with the Pallas kernel.
 
     Args:
       vol: volume pytree; ``deform`` must be None (rigid). The non-rigid
-        path uses ops/integrate.py.
+        path uses ops/integrate.py or integrate_warped_pallas.
       depth: (H, W) mm depth, u16/f32; zero = no data.
       camera: Camera with pose = camera->world.
-      nk: number of candidate depth columns (odd). nk=3 is exact for
-        |beta| <= 1 (upright-ish cameras); raise to 5 for extreme roll.
+      nk: number of candidate depth columns (odd, mode="exact" only).
+        nk=3 is exact for |beta| <= 1 (upright-ish cameras); raise to 5
+        for extreme roll.
+      mode:
+        "exact" — the depth pixel is round(project(voxel)) exactly as
+          the reference computes it (ref: world_to_pixel,
+          cuda_coordinate_transforms.cu:10-30), found by matching the
+          per-voxel column against nk candidates on the column's image
+          line; unmatched voxels are skipped and counted.
+        "line" — the depth pixel column is evaluated ON the column's
+          exact image line at the rounded row (projective maps send
+          lines to lines, so this is the same mathematical projection;
+          only the f32 rounding convention differs by <= 1 px at
+          half-pixel boundaries / |beta|/2 sub-pixel from row rounding).
+          Always nk=1: ~2x faster than exact nk=3 for generic poses with
+          zero misses; columns steeper than |beta| = 1 (extreme roll)
+          are skipped and counted.
 
     Returns:
       (updated volume, miss_count) — miss_count is the number of
-      in-frustum voxels skipped because no candidate column matched
-      (0 in normal operation; nonzero signals extreme camera roll, in
-      which case re-run with larger nk or ops.integrate).
+      in-frustum voxels skipped (0 in normal operation; nonzero signals
+      extreme camera roll: re-run with larger nk / mode="exact" /
+      ops.integrate).
     """
+    if mode not in ("exact", "line"):
+        raise ValueError(f"mode must be 'exact' or 'line', got {mode!r}")
+    if mode == "line":
+        nk = 1
     if vol.deform is not None:
         raise ValueError(
             "integrate_pallas is the rigid path; use ops.integrate for "
@@ -513,6 +552,7 @@ def integrate_pallas(
         Xr=Xr,
         nk=nk,
         cap_weight=cap_weight,
+        line_mode=(mode == "line"),
     )
 
     new_tsdf, new_weight, miss = pl.pallas_call(

@@ -74,12 +74,52 @@ def _sweep(
 ) -> jnp.ndarray:
     """One slab sweep along the array's axis 0; all quantities are in
     this (possibly axis-permuted) frame. Returns (H, W, 3) vertices."""
-    Z, Yr, Xr = tsdf.shape
-    H, W = height, width
+    Z = tsdf.shape[0]
 
-    # Per-pixel ray fields.
+    def provider(p0, zb):
+        # physical slabs [p0, p0 + zb) straight off the resident volume
+        return jax.lax.dynamic_slice_in_dim(tsdf, p0, zb, axis=0)
+
+    return _sweep_bricks(
+        provider, Z, tsdf.shape[1], tsdf.shape[2],
+        m, origin, off, physical, vs, fwd_axis,
+        width, height, interpret,
+    )
+
+
+def _sweep_bricks(
+    provider,
+    Z: int,
+    Yr: int,
+    Xr: int,
+    m: jnp.ndarray,
+    origin: jnp.ndarray,
+    off: jnp.ndarray,
+    physical: jnp.ndarray,
+    vs: jnp.ndarray,
+    fwd_axis: jnp.ndarray,
+    width: int,
+    height: int,
+    interpret: bool,
+    brick_slabs: int | None = None,
+    any_alive=jnp.any,
+    y0=0,
+) -> jnp.ndarray:
+    """Slab sweep over bricks served by ``provider(p0, zb)`` — a traced
+    callable returning the physical slabs [p0, p0+zb) as a (zb, Yr, Xr)
+    block. The single-device path serves 4-slab bricks from the resident
+    volume; the brick-sharded path (parallel/ops.py) serves each owner's
+    brick via one ring/psum broadcast per step, so per-device memory is
+    O(brick), not O(volume). Early termination stops requesting bricks
+    once every ray is resolved; ``any_alive`` aggregates the liveness
+    mask (the sharded path psums it so all devices stop together)."""
+    H, W = height, width
+    K_default = 4
+
+    # Per-pixel ray fields. ``y0``: first image row of this ray tile
+    # (row-sharded rays; traced ok).
     xs = jnp.arange(W, dtype=jnp.float32)
-    ys = jnp.arange(H, dtype=jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32) + jnp.asarray(y0, jnp.float32)
     px = jnp.broadcast_to(xs[None, :], (H, W))
     py = jnp.broadcast_to(ys[:, None], (H, W))
     d_x = m[0, 0] * px + m[0, 1] * py + m[0, 2]
@@ -103,15 +143,18 @@ def _sweep(
     # row-independent tables, so K slabs concatenate along rows into ONE
     # lane-gather call each way — amortizing per-custom-call and loop
     # overhead K-fold across the Z-step sweep.
-    K = min(4, Z)
-    n_iter = -(-Z // K)
+    zl = brick_slabs if brick_slabs is not None else min(K_default, Z)
+    n_bricks = -(-Z // zl)
+    K = min(K_default, zl)
+    n_inner = -(-zl // K)
 
-    def slab_fields(s_idx):
-        """Per-slab sampling of one sweep position (traced index)."""
+    def slab_fields(s_idx, s_hi, block, p0):
+        """Per-slab sampling of one sweep position (traced index) out of
+        ``block`` = physical slabs [p0, p0 + zl)."""
         zi = jnp.where(reverse, Z - 1 - s_idx, s_idx)
         zi_c = jnp.clip(zi, 0, Z - 1)
         slab = jax.lax.dynamic_index_in_dim(
-            tsdf, zi_c, axis=0, keepdims=False
+            block, jnp.clip(zi_c - p0, 0, zl - 1), axis=0, keepdims=False
         ).astype(jnp.float32)  # (Yr, Xr); bf16 storage reads half the HBM
         zk = off[2] + (zi.astype(jnp.float32) + 0.5) * vs[2]
         su = (zk - o_z) / vs[0]
@@ -124,7 +167,7 @@ def _sweep(
             & (u_pix <= Xr - 1.0)
             & (v_pix >= 0.0)
             & (v_pix <= Yr - 1.0)
-            & (s_idx < Z)
+            & (s_idx < s_hi)  # inside this brick's sweep range and < Z
         )
 
         # Row lines in slab space from the row's first/last pixels.
@@ -188,8 +231,12 @@ def _sweep(
         prev_s = jnp.where(valid, s, prev_s)
         return prev_s, state, hit_z
 
-    def body(i, carry):
-        fields = [slab_fields(i * K + j) for j in range(K)]
+    def body(b, j, block, p0, carry):
+        s_base = b * zl + j * K
+        s_hi = jnp.minimum((b + 1) * zl, Z)
+        fields = [
+            slab_fields(s_base + t, s_hi, block, p0) for t in range(K)
+        ]
 
         # pass A for all K slabs in one gather per tap
         tab_a = jnp.concatenate([f["slab_t"] for f in fields], axis=0)
@@ -237,13 +284,22 @@ def _sweep(
     init = (0, (zeros, zeros, jnp.full((H, W), _NO_HIT, jnp.float32)))
 
     def cond(state):
-        i, (_ps, st, _hz) = state
+        b, (_ps, st, _hz) = state
         alive = intersects & (st != _S_DEAD)
-        return (i < n_iter) & jnp.any(alive)
+        return (b < n_bricks) & any_alive(alive)
 
     def wbody(state):
-        i, carry = state
-        return i + 1, body(i, carry)
+        b, carry = state
+        # physical base of the brick at sweep position b (clamped so the
+        # last partial brick still serves a full static-size block)
+        p0 = jnp.where(reverse, Z - (b + 1) * zl, b * zl)
+        p0 = jnp.clip(p0, 0, max(Z - zl, 0))
+        block = provider(p0, zl)
+
+        def inner(j, carry):
+            return body(b, j, block, p0, carry)
+
+        return b + 1, jax.lax.fori_loop(0, n_inner, inner, carry)
 
     _, (_, _, hit_z) = jax.lax.while_loop(cond, wbody, init)
 

@@ -15,7 +15,14 @@ Mesh axes:
 """
 
 from .mesh import make_mesh, volume_sharding, replicated
-from .ops import integrate_sharded, raycast_sharded, shard_volume
+from .ops import (
+    get_incremental_transformation_sharded,
+    integrate_sharded,
+    raycast_sharded,
+    raycast_sharded_bricked,
+    shard_volume,
+    track_and_fuse_frames_sharded,
+)
 
 __all__ = [
     "make_mesh",
@@ -24,4 +31,7 @@ __all__ = [
     "shard_volume",
     "integrate_sharded",
     "raycast_sharded",
+    "raycast_sharded_bricked",
+    "get_incremental_transformation_sharded",
+    "track_and_fuse_frames_sharded",
 ]

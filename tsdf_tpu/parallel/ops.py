@@ -108,6 +108,7 @@ def integrate_sharded(
     nk: int = 3,
     interpret: bool | None = None,
     return_miss: bool = False,
+    mode: str = "line",
 ):
     """Brick-parallel depth integration. No collectives in the update
     itself (one psum folds the per-brick miss counters).
@@ -137,7 +138,7 @@ def integrate_sharded(
     out, miss = _integrate_sharded_jit(
         vol, jnp.asarray(depth, jnp.float32), camera, mesh=mesh,
         cap_weight=cap_weight, use_pallas=use_pallas, nk=nk,
-        interpret=interpret,
+        interpret=interpret, mode=mode,
     )
     return (out, miss) if return_miss else out
 
@@ -145,7 +146,7 @@ def integrate_sharded(
 @partial(
     jax.jit,
     static_argnames=(
-        "mesh", "cap_weight", "use_pallas", "nk", "interpret",
+        "mesh", "cap_weight", "use_pallas", "nk", "interpret", "mode",
     ),
 )
 def _integrate_sharded_jit(
@@ -158,6 +159,7 @@ def _integrate_sharded_jit(
     use_pallas: bool,
     nk: int,
     interpret: bool,
+    mode: str,
 ):
     # One jit around the whole shard_map: without it every frame re-trace
     # + eager per-op dispatch through the remote tunnel made the sharded
@@ -179,7 +181,7 @@ def _integrate_sharded_jit(
 
             out, miss = integrate_pallas(
                 lvol, depth, cam, cap_weight=cap_weight, nk=nk,
-                interpret=interpret,
+                interpret=interpret, mode=mode,
             )
             miss = jax.lax.psum(miss, "b")
         else:
@@ -290,6 +292,98 @@ def raycast_sharded(
     return verts, normals
 
 
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "width", "height", "interpret"),
+)
+def raycast_sharded_bricked(
+    vol: TSDFVolume,
+    camera: Camera,
+    mesh: Mesh,
+    width: int = 640,
+    height: int = 480,
+    interpret: bool | None = None,
+):
+    """Brick-LOCAL sharded raycast: per-device memory O(brick), not
+    O(volume) (round-1 verdict item 7 / SURVEY §7 hard part (a)).
+
+    Rays stay resident (the image is row-tiled over the whole mesh);
+    the volume's z-bricks are STREAMED through every device in sweep
+    order — one psum broadcast of the owner's brick per sweep step —
+    while each device advances its own rays' crossing state with the
+    slab-sweep kernel (kernels/raycast.py:_sweep_bricks). A ray crosses
+    z monotonically, so visiting bricks in sweep order preserves the
+    front-to-back marching semantics exactly; mesh-wide early
+    termination (psum'd liveness) stops the stream once every ray on
+    every device has resolved. Total ICI traffic equals the all_gather
+    variant's, but no device ever materialises more than one remote
+    brick (the 768^3-class multi-host memory budget).
+
+    The sweep runs along the sharded z axis; cameras looking
+    near-perpendicular to z degrade to misses on degenerate rows (the
+    general-direction fallback is ``raycast_sharded``, which replicates
+    the volume). Returns (vertices, normals) like ops.raycast.
+    """
+    from ..kernels.raycast import _sweep_bricks
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nb = mesh.shape["b"]
+    nr = mesh.shape["r"]
+    nd = nb * nr
+    Z, Y, X = vol.tsdf.shape
+    if Z % nb:
+        raise ValueError(f"Z={Z} must divide the brick axis ({nb})")
+    zl = Z // nb
+    hp = -(-height // nd) * nd
+    hl = hp // nd
+
+    m = camera.rotation @ camera.k_inv
+    fwd_z = camera.pose[2, 2]
+
+    def local(tsdf_local, m, origin, off, physical, vs, fwd_z, trunc):
+        me_b = jax.lax.axis_index("b")
+        me = me_b * nr + jax.lax.axis_index("r")
+
+        def provider(p0, zb):
+            # brick broadcast: the owner contributes, everyone psums.
+            # p0 is zl-aligned by construction (zl | Z).
+            owner = p0 // zl
+            blk = jnp.where(
+                owner == me_b,
+                tsdf_local.astype(jnp.float32),
+                jnp.zeros(tsdf_local.shape, jnp.float32),
+            )
+            return jax.lax.psum(blk, "b")
+
+        def any_alive(a):
+            return (
+                jax.lax.psum(jnp.sum(a.astype(jnp.int32)), ("b", "r")) > 0
+            )
+
+        verts = _sweep_bricks(
+            provider, Z, Y, X,
+            m, origin, off, physical, vs, fwd_z,
+            width, hl, interpret,
+            brick_slabs=zl, any_alive=any_alive, y0=me * hl,
+        )
+        return verts
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("b"), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=P(("b", "r")),
+        check_vma=False,
+    )
+    verts = fn(
+        vol.tsdf, m, camera.position, vol.offset, vol.physical_size,
+        vol.voxel_size, fwd_z, vol.truncation_distance,
+    )[:height]
+    normals = compute_normals_from_vertices(verts)
+    return verts, normals
+
+
 def icp_step_sharded(
     rot: jnp.ndarray,
     trans: jnp.ndarray,
@@ -336,6 +430,193 @@ def icp_step_sharded(
         out_specs=(P(), P(), P(), P()),
     )
     return fn(vmap_curr, nmap_curr, vmap_prev, nmap_prev, rot, trans)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "levels", "iterations", "band"),
+)
+def get_incremental_transformation_sharded(
+    depth_curr: jnp.ndarray,
+    depth_prev: jnp.ndarray,
+    intrinsics: jnp.ndarray,  # (4,) fx, fy, cx, cy
+    mesh: Mesh,
+    levels: int = 3,
+    iterations: tuple[int, ...] = (10, 5, 4),
+    band: int | None = None,
+):
+    """The FULL coarse-to-fine ICP pyramid on the device mesh.
+
+    Row-shards every pyramid level's current-frame maps over all mesh
+    devices; the whole 10/5/4 Gauss-Newton loop runs inside ONE
+    shard_map, each iteration psum-ing the 6x7 normal equations and
+    solving replicated — the mesh-wide version of estimate.cu's
+    block-reduction tree + host LDLT (ref: ICPOdometry.cpp:97-135,
+    estimate.cu:264-281). Round-1 gap: only a single sharded step
+    existed, so tracked fusion could not run sharded end-to-end.
+
+    Every level's height must be divisible by the mesh size (480-class
+    images divide 2/3/4/5/6/8-device meshes at 3 levels).
+
+    Returns an ICPResult (pose, error, inliers), replicated.
+    """
+    from ..tracking.icp import (
+        ICPResult,
+        depth_pyramid,
+        icp_step,
+        icp_step_banded,
+        normal_map,
+        vertex_map,
+    )
+    from ..utils.se3 import se3_exp
+
+    n_dev = mesh.shape["b"] * mesh.shape["r"]
+    fx, fy, cx, cy = (
+        intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3],
+    )
+
+    pyr_c = depth_pyramid(jnp.asarray(depth_curr, jnp.float32), levels)
+    pyr_p = depth_pyramid(jnp.asarray(depth_prev, jnp.float32), levels)
+
+    maps = []
+    for lvl in range(levels):
+        s = 1.0 / (1 << lvl)
+        lfx, lfy, lcx, lcy = fx * s, fy * s, cx * s, cy * s
+        vc = vertex_map(pyr_c[lvl], lfx, lfy, lcx, lcy)
+        vp = vertex_map(pyr_p[lvl], lfx, lfy, lcx, lcy)
+        nc = normal_map(vc)
+        # pad the sharded (current) maps to a multiple of the mesh size
+        # with NaN rows — invalid vertices contribute nothing
+        pad = (-vc.shape[0]) % n_dev
+        if pad:
+            vc = jnp.pad(vc, ((0, pad), (0, 0), (0, 0)),
+                         constant_values=jnp.nan)
+            nc = jnp.pad(nc, ((0, pad), (0, 0), (0, 0)),
+                         constant_values=jnp.nan)
+        maps.append(
+            (
+                vc,
+                nc,
+                vp,
+                normal_map(vp),
+                pyr_p[lvl],
+                jnp.stack(
+                    [
+                        jnp.asarray(v, jnp.float32)
+                        for v in (lfx, lfy, lcx, lcy)
+                    ]
+                ),
+            )
+        )
+    maps = tuple(maps)
+
+    def local(maps):
+        dev = (
+            jax.lax.axis_index("b") * mesh.shape["r"]
+            + jax.lax.axis_index("r")
+        )
+        pose = jnp.eye(4, dtype=jnp.float32)
+        err = jnp.array(0.0, jnp.float32)
+        inl = jnp.array(0.0, jnp.float32)
+        for lvl in range(levels - 1, -1, -1):
+            vc, nc, vp, np_, dp_prev, intr = maps[lvl]
+            lfx, lfy, lcx, lcy = intr[0], intr[1], intr[2], intr[3]
+            h_local = vc.shape[0]
+            for _ in range(iterations[lvl]):
+                if band is not None:
+                    A, b, res_sq, inliers = icp_step_banded(
+                        pose[0:3, 0:3], pose[0:3, 3], vc, nc, dp_prev,
+                        lfx, lfy, lcx, lcy,
+                        band=max(band >> lvl, 8),
+                        row_offset=dev * h_local,
+                    )
+                else:
+                    A, b, res_sq, inliers = icp_step(
+                        pose[0:3, 0:3], pose[0:3, 3], vc, nc, vp, np_,
+                        lfx, lfy, lcx, lcy,
+                    )
+                A = jax.lax.psum(A, ("b", "r"))
+                b = jax.lax.psum(b, ("b", "r"))
+                res_sq = jax.lax.psum(res_sq, ("b", "r"))
+                inliers = jax.lax.psum(inliers, ("b", "r"))
+                # replicated 6x6 solve — identical on every device
+                A = A + 1e-6 * jnp.eye(6, dtype=jnp.float32)
+                update = jnp.linalg.solve(A, b)
+                update = jnp.where(jnp.isfinite(update), update, 0.0)
+                delta = se3_exp(
+                    jnp.concatenate([update[3:6], update[0:3]])
+                )
+                pose = delta @ pose
+                err = jnp.sqrt(res_sq / jnp.maximum(inliers, 1.0))
+                inl = inliers
+        return pose, err, inl
+
+    shard = P(("b", "r"))
+    specs = tuple(
+        (shard, shard, P(), P(), P(), P()) for _ in range(levels)
+    )
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(specs,),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    pose, err, inl = fn(maps)
+    return ICPResult(pose=pose, error=err, inliers=inl)
+
+
+def track_and_fuse_frames_sharded(
+    vol: TSDFVolume,
+    camera: Camera,
+    frames,
+    mesh: Mesh,
+    use_bilateral_filter: bool = False,
+    nk: int = 3,
+    band: int | None = None,
+    width: int = 640,
+    height: int = 480,
+):
+    """Full tracked KinectFusion on the device mesh: bilateral
+    (replicated) -> sharded ICP pyramid vs a sharded model render ->
+    brick-parallel Pallas integrate. The mesh-wide analogue of
+    pipelines.track_and_fuse_frames; trajectories match the
+    single-device loop (tests/test_parallel_icp.py).
+
+    Returns (volume, camera, poses, stats) as the single-device loop.
+    """
+    from ..ops.bilateral import bilateral_filter
+
+    k = camera.k
+    intr = jnp.stack([k[0, 0], k[1, 1], k[0, 2], k[1, 2]])
+
+    poses, stats = [], []
+    first = True
+    for depth in frames:
+        depth = jnp.asarray(depth, jnp.float32)
+        if use_bilateral_filter:
+            depth = bilateral_filter(depth)
+        if not first:
+            verts, _ = raycast_sharded(
+                vol, camera, mesh, width=width, height=height
+            )
+            cam_pts = camera.world_to_camera(
+                jnp.where(jnp.isfinite(verts), verts, 0.0).reshape(-1, 3)
+            ).reshape(height, width, 3)
+            model_depth = jnp.where(
+                jnp.isfinite(verts).all(-1), cam_pts[..., 2], 0.0
+            )
+            res = get_incremental_transformation_sharded(
+                depth, model_depth, intr, mesh, band=band
+            )
+            camera = camera.set_pose(camera.pose @ res.pose)
+            stats.append((res.error, res.inliers))
+        else:
+            stats.append((jnp.array(0.0), jnp.array(0.0)))
+            first = False
+        vol = integrate_sharded(vol, depth, camera, mesh, nk=nk)
+        poses.append(camera.pose)
+    return vol, camera, poses, stats
 
 
 def extract_surface_sharded(

@@ -39,13 +39,17 @@ class FusionConfig:
     height: int = 480
     use_pallas: bool = False  # Pallas kernels (TPU); lax path otherwise
     icp_band: int = 32  # banded ICP lookup when use_pallas (0 = exact)
-    # Candidate columns for the Pallas integrate. 3 covers both camera
-    # roll (|beta| <= 1) and the ~0.2% of voxels whose f32 rounding
-    # lands the line-evaluated column one pixel off the directly
-    # evaluated one; 1 is ~2x faster and exact only for axis-aligned
-    # cameras (the miss counters are checked after the run either way —
-    # never silently wrong, skipped voxels just lose that frame's
-    # observation).
+    # Pallas integrate pixel-selection mode (kernels/integrate.py):
+    # "line" (default) samples the column's exact image line at the
+    # rounded row — nk=1 speed for ANY upright-ish pose, zero misses,
+    # differing from reference rounding by <= 1 px only at f32
+    # half-pixel slivers; "exact" reproduces the reference's
+    # round(project(voxel)) bit-for-bit via nk candidate matching.
+    integrate_mode: str = "line"
+    # Candidate columns for mode="exact". 3 covers camera roll
+    # (|beta| <= 1) and the ~0.2% of f32 rounding slivers; the miss
+    # counters are checked after the run either way — never silently
+    # wrong, skipped voxels just lose that frame's observation.
     integrate_nk: int = 3
 
     def make_volume(self) -> TSDFVolume:
@@ -57,7 +61,10 @@ class FusionConfig:
 def _render_depth_pallas(vol, camera, width, height):
     from ..kernels.raycast import raycast_pallas
 
-    verts, _normals = raycast_pallas(vol, camera, width, height)
+    verts, _normals = raycast_pallas(
+        vol, camera, width, height,
+        interpret=jax.default_backend() != "tpu",
+    )
     cam = camera.world_to_camera(
         jnp.where(jnp.isfinite(verts), verts, 0.0).reshape(-1, 3)
     ).reshape(height, width, 3)
@@ -72,6 +79,8 @@ def _integrate(vol, depth, camera, config: FusionConfig, miss_log=None):
         vol, miss = integrate_pallas(
             vol, depth, camera,
             cap_weight=config.cap_weight, nk=config.integrate_nk,
+            mode=config.integrate_mode,
+            interpret=jax.default_backend() != "tpu",
         )
         if miss_log is not None:
             miss_log.append(miss)  # left on device; sync'd by the caller
@@ -117,12 +126,19 @@ def _check_misses(miss_log, config: FusionConfig) -> None:
     if total:
         import warnings
 
-        remedy = (
-            "FusionConfig(integrate_nk=3)"
-            if config.integrate_nk < 3
-            else "FusionConfig(integrate_nk=5), or use_pallas=False "
-            "(ops.integrate) for extreme camera roll"
-        )
+        if config.integrate_mode == "line":
+            remedy = (
+                "FusionConfig(integrate_mode='exact', integrate_nk=5), "
+                "or use_pallas=False (ops.integrate) — line mode skips "
+                "columns steeper than |beta| = 1 (extreme camera roll)"
+            )
+        elif config.integrate_nk < 3:
+            remedy = "FusionConfig(integrate_nk=3)"
+        else:
+            remedy = (
+                "FusionConfig(integrate_nk=5), or use_pallas=False "
+                "(ops.integrate) for extreme camera roll"
+            )
         warnings.warn(
             f"{total} voxel observations skipped by the line-warp "
             f"integrate at nk={config.integrate_nk}; re-run with "

@@ -226,8 +226,14 @@ def icp_step_banded(
     dist_thresh: float = DIST_THRESH_MM,
     angle_thresh: float = ANGLE_THRESH,
     cutoff: float = DEPTH_CUTOFF_MM,
+    row_offset=0,
 ):
     """icp_step with a TPU-fast banded correspondence lookup.
+
+    ``vmap_curr`` may be a row shard of the frame: pass ``row_offset``
+    (traced ok) as the shard's first row in the full image so the
+    vertical-displacement band is measured against true pixel rows
+    (parallel/ops.py passes axis_index * shard_height).
 
     The per-pixel model lookup is the one true 2D gather in the tracker;
     XLA's TPU gather runs at ~0.11 G lookups/s, which made ICP dominate
@@ -243,6 +249,7 @@ def icp_step_banded(
     from ..kernels.gather import lane_gather_any
 
     h, w = depth_prev.shape
+    hc, wc = vmap_curr.shape[0], vmap_curr.shape[1]
     v_curr = vmap_curr.reshape(-1, 3)
     n_curr = nmap_curr.reshape(-1, 3)
 
@@ -253,25 +260,32 @@ def icp_step_banded(
     pyf = v_in_prev[:, 1] * fy / v_in_prev[:, 2] + cy
     pxf = jnp.where(jnp.isfinite(pxf), pxf, -1.0)
     pyf = jnp.where(jnp.isfinite(pyf), pyf, -1.0)
-    px = jnp.round(jnp.clip(pxf, -1e6, 1e6)).astype(jnp.int32).reshape(h, w)
-    py = jnp.round(jnp.clip(pyf, -1e6, 1e6)).astype(jnp.int32).reshape(h, w)
+    px = jnp.round(jnp.clip(pxf, -1e6, 1e6)).astype(jnp.int32).reshape(hc, wc)
+    py = jnp.round(jnp.clip(pyf, -1e6, 1e6)).astype(jnp.int32).reshape(hc, wc)
 
     in_img = (
         (px >= 0) & (px < w - 1) & (py >= 0) & (py < h - 1)
     )  # need (px+1, py+1) for the normal stencil
-    yy = jnp.arange(h, dtype=jnp.int32)[:, None]
+    yy = (
+        jnp.arange(hc, dtype=jnp.int32)[:, None]
+        + jnp.asarray(row_offset, jnp.int32)
+    )
     dy = py - yy
     found = in_img & (jnp.abs(dy) <= band)
 
     px_s = jnp.clip(px, 0, w - 1)
-    d00 = jnp.zeros((h, w), jnp.float32)
-    d10 = jnp.zeros((h, w), jnp.float32)
-    d01 = jnp.zeros((h, w), jnp.float32)
+    d00 = jnp.zeros((hc, wc), jnp.float32)
+    d10 = jnp.zeros((hc, wc), jnp.float32)
+    d01 = jnp.zeros((hc, wc), jnp.float32)
     dp = jnp.asarray(depth_prev, jnp.float32)
     for k in range(-band, band + 2):
         rolled = jnp.roll(dp, -k, axis=0)  # rolled[y] = dp[y + k]
-        c0 = lane_gather_any(rolled, px_s)
-        c1 = lane_gather_any(rolled, jnp.minimum(px_s + 1, w - 1))
+        # align the model rows to this shard's rows
+        window = jax.lax.dynamic_slice_in_dim(
+            rolled, jnp.asarray(row_offset, jnp.int32), hc, axis=0
+        )
+        c0 = lane_gather_any(window, px_s)
+        c1 = lane_gather_any(window, jnp.minimum(px_s + 1, w - 1))
         d00 = jnp.where(dy == k, c0, d00)
         d10 = jnp.where(dy == k, c1, d10)
         d01 = jnp.where(dy == k - 1, c0, d01)
