@@ -144,10 +144,11 @@ def test_icp_cli(tmp_path, capsys):
     assert "lastError" in out and "lastInliers" in out
 
 
-def test_fuse_tracked_pallas(tum_dir, tmp_path):
+def test_fuse_tracked_pallas(tum_dir, tmp_path, capsys):
     """--track --pallas: the full tracked loop (banded ICP vs model
     render, line-mode Pallas integrate) through the CLI, streaming
-    frames (r1 verdict weak 9)."""
+    frames (r1 verdict weak 9); prints ATE/RPE vs the dataset ground
+    truth (config-3 quality gate)."""
     out_tsdf = tmp_path / "tracked.tsdf"
     rc = main(
         [
@@ -163,6 +164,13 @@ def test_fuse_tracked_pallas(tum_dir, tmp_path):
     assert rc == 0
     vol = load_tsdf(str(out_tsdf))
     assert float(jnp.sum(vol.weight)) > 0
+    out = capsys.readouterr().out
+    assert "ATE rmse=" in out
+    import re
+
+    ate_rmse = float(re.search(r"ATE rmse=([0-9.]+)mm", out).group(1))
+    # slow synthetic motion, frame-to-model tracking: a few mm at most
+    assert ate_rmse < 20.0, out
 
 
 def test_fuse_empty_dir_errors(tmp_path):

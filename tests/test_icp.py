@@ -112,3 +112,56 @@ def test_banded_matches_exact():
     assert abs(float(banded.inliers) - float(exact.inliers)) < 0.05 * float(
         exact.inliers
     )
+
+
+def test_banded_fallback_on_fast_motion():
+    """Fast vertical motion defeats the banded lookup; the tracked loop
+    must fall back to exact association instead of accepting a
+    low-inlier pose (r1 verdict weak 5)."""
+    import jax.numpy as jnp
+
+    from tsdf_tpu import Camera, make_volume
+    from tsdf_tpu.ops.raycast import render_to_depth_image
+    from tsdf_tpu.pipelines import FusionConfig, track_and_fuse_frames
+    from tsdf_tpu.utils import fixtures
+
+    W, H = 160, 120
+    scene = make_volume((64,) * 3, 3000.0, offset=(-1500.0, -1500.0, 0.0))
+    wall = fixtures.wall_tsdf(scene, 2500.0)
+    sph = fixtures.sphere_tsdf(scene, 500.0, centre=(0.0, 200.0, 1500.0))
+    scene = scene.replace(
+        tsdf=jnp.minimum(wall.tsdf, sph.tsdf),
+        weight=jnp.ones_like(scene.weight),
+    )
+
+    def cam(ty):
+        return (
+            Camera.from_intrinsics(147.775, 147.525, 82.75, 58.65)
+            .move_to([0.0, ty, -500.0])
+            .look_at([0.0, 200.0, 1500.0])
+        )
+
+    # ~large vertical displacement between frames (hundreds of px at
+    # level 0; the band is 32)
+    frames = [
+        jnp.asarray(
+            render_to_depth_image(scene, cam(t), width=W, height=H),
+            jnp.float32,
+        )
+        for t in (0.0, 220.0)
+    ]
+    cfg = FusionConfig(
+        width=W, height=H, volume_size=(64,) * 3,
+        use_pallas=True, icp_band=8,  # cripple the band on purpose
+        icp_min_inliers_frac=0.05,
+    )
+    _, camera, poses, stats = track_and_fuse_frames(
+        cfg.make_volume(), cam(0.0), frames, cfg
+    )
+    err, inl = stats[-1]
+    # the exact fallback must find a healthy correspondence set
+    assert float(inl) > 0.05 * W * H
+    # and the recovered camera must have moved substantially toward the
+    # true pose (the banded-only path returns ~identity here)
+    dy = float(poses[-1][1, 3] - poses[0][1, 3])
+    assert abs(dy - 220.0) < 80.0, dy

@@ -130,10 +130,13 @@ def cmd_fuse(args):
     # of materializing the whole sequence in RAM (the 500-frame config-3
     # runs the prefetcher exists for; r1 verdict weak 8). The generator
     # keeps at most the prefetch window resident.
+    gt_poses = []
+
     def stream(with_pose):
         for i, (depth_img, pose) in enumerate(loader):
             if i >= n:
                 return
+            gt_poses.append(pose)
             d = jnp.asarray(depth_img.data)
             yield (d, jnp.asarray(pose)) if with_pose else d
 
@@ -147,6 +150,20 @@ def cmd_fuse(args):
             f"tracked {len(poses)} frames; lastError={float(err):.2f}mm "
             f"lastInliers={int(inl)}"
         )
+        # trajectory error vs the dataset's ground truth (the TUM
+        # benchmark metrics; BASELINE config 3's quality gate)
+        if len(gt_poses) == len(poses) and len(poses) >= 2:
+            from .utils.trajectory import ate, rpe
+
+            a = ate([__import__("numpy").asarray(p) for p in poses],
+                    gt_poses)
+            r = rpe([__import__("numpy").asarray(p) for p in poses],
+                    gt_poses)
+            print(
+                f"ATE rmse={a['rmse']:.2f}mm median={a['median']:.2f}mm "
+                f"max={a['max']:.2f}mm; RPE trans={r['trans_rmse']:.2f}mm"
+                f"/frame rot={r['rot_rmse']*1e3:.2f}mrad/frame"
+            )
     else:
         vol, camera = fuse_frames(vol, camera, stream(True), cfg)
 

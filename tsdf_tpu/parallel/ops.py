@@ -255,18 +255,8 @@ def raycast_sharded(
 
     def local(tsdf_slab, dirs_tile, physical_size, offset, trunc, origin):
         full = jax.lax.all_gather(tsdf_slab, "b", axis=0, tiled=True)
-        lvol = TSDFVolume(
-            tsdf=full,
-            weight=full,
-            color=None,
-            deform=None,
-            deform_rot=None,
-            physical_size=physical_size,
-            offset=offset,
-            truncation_distance=trunc,
-            max_weight=trunc,
-            global_rotation=jnp.zeros(3, jnp.float32),
-            global_translation=jnp.zeros(3, jnp.float32),
+        lvol = TSDFVolume.for_geometry(
+            full, physical_size, offset, trunc
         )
         return march_rays(
             lvol, origin, dirs_tile,

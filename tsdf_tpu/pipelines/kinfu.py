@@ -10,6 +10,7 @@ the unused filter; BASELINE config 3).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Iterable, Optional
 
 import jax
@@ -51,6 +52,11 @@ class FusionConfig:
     # counters are checked after the run either way — never silently
     # wrong, skipped voxels just lose that frame's observation.
     integrate_nk: int = 3
+    # Banded ICP drops correspondences displaced vertically by more than
+    # icp_band pixels (fast motion). If the final inlier count falls
+    # below this fraction of the image, the frame is re-tracked with the
+    # exact full-image association before accepting the pose.
+    icp_min_inliers_frac: float = 0.02
 
     def make_volume(self) -> TSDFVolume:
         return make_volume(
@@ -168,41 +174,127 @@ def track_and_fuse_frames(
     k = camera.k
     fx, fy = k[0, 0], k[1, 1]
     cx, cy = k[0, 2], k[1, 2]
+    min_inl = config.icp_min_inliers_frac * config.width * config.height
 
     poses = []
     stats = []
     miss_log: list = []
     first = True
     for depth in frames:
+        depth = jnp.asarray(depth, jnp.float32)
+        if first:
+            if config.use_bilateral_filter:
+                depth = bilateral_filter(
+                    depth, config.sigma_colour, config.sigma_space
+                )
+            stats.append((jnp.array(0.0), jnp.array(0.0)))
+            first = False
+            vol = _integrate(vol, depth, camera, config, miss_log)
+            poses.append(camera.pose)
+            continue
+
+        if config.use_pallas:
+            # whole per-frame step (bilateral -> render -> ICP -> pose
+            # -> integrate) in ONE jit: the host loop otherwise pays
+            # ~8-10 dispatches/frame through the remote tunnel
+            band = config.icp_band if config.icp_band > 0 else None
+            vol2, camera2, err, inl, miss = _tracked_step_pallas(
+                vol, camera, depth, config=config, band=band,
+                min_inliers=min_inl if band is not None else 0.0,
+            )
+            if band is not None and float(inl) < min_inl:
+                # banded lookup lost the correspondences (fast motion):
+                # re-track with the exact association (the banded step
+                # skipped its integrate, so no bad pose was fused)
+                vol2, camera2, err, inl, miss = _tracked_step_pallas(
+                    vol, camera, depth, config=config, band=None,
+                    min_inliers=0.0,
+                )
+            vol, camera = vol2, camera2
+            miss_log.append(miss)
+            stats.append((err, inl))
+            poses.append(camera.pose)
+            continue
+
         if config.use_bilateral_filter:
             depth = bilateral_filter(
                 depth, config.sigma_colour, config.sigma_space
             )
-        if not first:
-            if config.use_pallas:
-                model_depth = _render_depth_pallas(
-                    vol, camera, config.width, config.height
-                )
-            else:
-                model_depth = render_to_depth_image(
-                    vol, camera, width=config.width, height=config.height
-                )
-            band = (
-                config.icp_band
-                if (config.use_pallas and config.icp_band > 0)
-                else None
-            )
-            res = get_incremental_transformation(
-                depth, model_depth, fx, fy, cx, cy, band=band
-            )
-            # res.pose maps current-cam -> previous-cam coords;
-            # new camera->world = prev pose o T_prev_curr
-            camera = camera.set_pose(camera.pose @ res.pose)
-            stats.append((res.error, res.inliers))
-        else:
-            stats.append((jnp.array(0.0), jnp.array(0.0)))
-            first = False
+        model_depth = render_to_depth_image(
+            vol, camera, width=config.width, height=config.height
+        )
+        res = get_incremental_transformation(
+            depth, model_depth, fx, fy, cx, cy, band=None
+        )
+        # res.pose maps current-cam -> previous-cam coords;
+        # new camera->world = prev pose o T_prev_curr
+        camera = camera.set_pose(camera.pose @ res.pose)
+        stats.append((res.error, res.inliers))
         vol = _integrate(vol, depth, camera, config, miss_log)
         poses.append(camera.pose)
     _check_misses(miss_log, config)
     return vol, camera, poses, stats
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "band"),
+)
+def _tracked_step_pallas(
+    vol: TSDFVolume,
+    camera: Camera,
+    depth: jnp.ndarray,
+    *,
+    config: FusionConfig,
+    band: int | None,
+    min_inliers,
+):
+    """One fused tracked-fusion frame (Pallas path): bilateral ->
+    model render -> ICP -> pose update -> integrate, all on-device.
+
+    The integrate is gated on the inlier count (lax.cond): if the banded
+    association collapsed, nothing is fused and the host re-runs the
+    exact-association variant on the same state (r1 verdict weak 5).
+    """
+    from ..kernels.integrate import integrate_pallas
+    from ..kernels.raycast import raycast_pallas
+
+    interpret = jax.default_backend() != "tpu"
+    k = camera.k
+    fx, fy, cx, cy = k[0, 0], k[1, 1], k[0, 2], k[1, 2]
+
+    if config.use_bilateral_filter:
+        depth = bilateral_filter(
+            depth, config.sigma_colour, config.sigma_space
+        )
+
+    verts, _ = raycast_pallas(
+        vol, camera, config.width, config.height, interpret=interpret
+    )
+    cam_pts = camera.world_to_camera(
+        jnp.where(jnp.isfinite(verts), verts, 0.0).reshape(-1, 3)
+    ).reshape(config.height, config.width, 3)
+    model_depth = jnp.where(
+        jnp.isfinite(verts).all(-1), cam_pts[..., 2], 0.0
+    )
+
+    res = get_incremental_transformation(
+        depth, model_depth, fx, fy, cx, cy, band=band
+    )
+    camera = camera.set_pose(camera.pose @ res.pose)
+
+    def fuse(vol):
+        out, miss = integrate_pallas(
+            vol, depth, camera,
+            cap_weight=config.cap_weight, nk=config.integrate_nk,
+            mode=config.integrate_mode, interpret=interpret,
+        )
+        return out, miss
+
+    vol, miss = jax.lax.cond(
+        res.inliers >= min_inliers,
+        fuse,
+        lambda v: (v, jnp.int32(0)),
+        vol,
+    )
+    return vol, camera, res.error, res.inliers, miss

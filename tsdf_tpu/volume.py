@@ -163,6 +163,30 @@ class TSDFVolume:
             color=jnp.zeros(self.tsdf.shape + (3,), jnp.uint8)
         )
 
+    @classmethod
+    def for_geometry(
+        cls, tsdf, physical_size, offset, truncation_distance
+    ) -> "TSDFVolume":
+        """A render-only carrier: just the distance field + grid
+        geometry (weight/color/deform absent). march_rays and the
+        sharded raycasts read nothing else — callers that only have a
+        tsdf array use this instead of fabricating fake weights."""
+        return cls(
+            tsdf=tsdf,
+            weight=None,
+            color=None,
+            deform=None,
+            deform_rot=None,
+            physical_size=jnp.asarray(physical_size, jnp.float32),
+            offset=jnp.asarray(offset, jnp.float32),
+            truncation_distance=jnp.asarray(
+                truncation_distance, jnp.float32
+            ),
+            max_weight=jnp.asarray(DEFAULT_MAX_WEIGHT, jnp.float32),
+            global_rotation=jnp.zeros(3, jnp.float32),
+            global_translation=jnp.zeros(3, jnp.float32),
+        )
+
     def astype(self, dtype) -> "TSDFVolume":
         """Recast the dense tsdf/weight storage (e.g. jnp.bfloat16 to
         halve the HBM stream of every integrate/raycast; all compute
