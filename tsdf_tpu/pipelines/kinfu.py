@@ -174,7 +174,6 @@ def track_and_fuse_frames(
     k = camera.k
     fx, fy = k[0, 0], k[1, 1]
     cx, cy = k[0, 2], k[1, 2]
-    min_inl = config.icp_min_inliers_frac * config.width * config.height
 
     poses = []
     stats = []
@@ -194,23 +193,16 @@ def track_and_fuse_frames(
             continue
 
         if config.use_pallas:
-            # whole per-frame step (bilateral -> render -> ICP -> pose
-            # -> integrate) in ONE jit: the host loop otherwise pays
-            # ~8-10 dispatches/frame through the remote tunnel
+            # whole per-frame step (bilateral -> render -> ICP ->
+            # banded-fallback -> pose -> integrate) in ONE jit with NO
+            # host sync: the host loop enqueues frames asynchronously and
+            # the tunnel's ~25 ms round-trip latency is pipelined away
+            # (a per-frame host read of the inlier count was measured at
+            # +27 ms/frame through the remote tunnel)
             band = config.icp_band if config.icp_band > 0 else None
-            vol2, camera2, err, inl, miss = _tracked_step_pallas(
+            vol, camera, err, inl, miss = _tracked_step_pallas(
                 vol, camera, depth, config=config, band=band,
-                min_inliers=min_inl if band is not None else 0.0,
             )
-            if band is not None and float(inl) < min_inl:
-                # banded lookup lost the correspondences (fast motion):
-                # re-track with the exact association (the banded step
-                # skipped its integrate, so no bad pose was fused)
-                vol2, camera2, err, inl, miss = _tracked_step_pallas(
-                    vol, camera, depth, config=config, band=None,
-                    min_inliers=0.0,
-                )
-            vol, camera = vol2, camera2
             miss_log.append(miss)
             stats.append((err, inl))
             poses.append(camera.pose)
@@ -247,14 +239,20 @@ def _tracked_step_pallas(
     *,
     config: FusionConfig,
     band: int | None,
-    min_inliers,
 ):
     """One fused tracked-fusion frame (Pallas path): bilateral ->
-    model render -> ICP -> pose update -> integrate, all on-device.
+    model render -> ICP (banded, with on-device exact fallback) ->
+    pose update -> integrate, all in one jit.
 
-    The integrate is gated on the inlier count (lax.cond): if the banded
-    association collapsed, nothing is fused and the host re-runs the
-    exact-association variant on the same state (r1 verdict weak 5).
+    The banded lookup drops correspondences displaced vertically by
+    more than ``band`` pixels (fast motion; r1 verdict weak 5). If its
+    inlier count falls below ``config.icp_min_inliers_frac`` of the
+    image, a lax.cond re-runs the exact full-image association — on
+    device, so the host never reads a scalar mid-loop (a per-frame
+    host read serializes the async dispatch pipeline and was measured
+    at +27 ms/frame through the remote tunnel). The integrate is then
+    gated on the final inlier count: a frame whose tracking is lost
+    even under exact association is not fused.
     """
     from ..kernels.integrate import integrate_pallas
     from ..kernels.raycast import raycast_pallas
@@ -262,6 +260,9 @@ def _tracked_step_pallas(
     interpret = jax.default_backend() != "tpu"
     k = camera.k
     fx, fy, cx, cy = k[0, 0], k[1, 1], k[0, 2], k[1, 2]
+    min_inl = (
+        config.icp_min_inliers_frac * config.width * config.height
+    )
 
     if config.use_bilateral_filter:
         depth = bilateral_filter(
@@ -281,7 +282,23 @@ def _tracked_step_pallas(
     res = get_incremental_transformation(
         depth, model_depth, fx, fy, cx, cy, band=band
     )
-    camera = camera.set_pose(camera.pose @ res.pose)
+    if band is not None:
+
+        def exact(_):
+            r = get_incremental_transformation(
+                depth, model_depth, fx, fy, cx, cy, band=None
+            )
+            return r.pose, r.error, r.inliers
+
+        pose_inc, err, inl = jax.lax.cond(
+            res.inliers < min_inl,
+            exact,
+            lambda _: (res.pose, res.error, res.inliers),
+            None,
+        )
+    else:
+        pose_inc, err, inl = res.pose, res.error, res.inliers
+    camera = camera.set_pose(camera.pose @ pose_inc)
 
     def fuse(vol):
         out, miss = integrate_pallas(
@@ -292,9 +309,9 @@ def _tracked_step_pallas(
         return out, miss
 
     vol, miss = jax.lax.cond(
-        res.inliers >= min_inliers,
+        (inl >= min_inl) if band is not None else jnp.bool_(True),
         fuse,
         lambda v: (v, jnp.int32(0)),
         vol,
     )
-    return vol, camera, res.error, res.inliers, miss
+    return vol, camera, err, inl, miss
