@@ -98,3 +98,80 @@ def test_overflow_flag():
     vol, _ = _sphere_soup()
     soup = extract_surface(vol, max_cubes=16, max_vertices=32)
     assert bool(soup.overflowed)
+
+
+def _force_path(vol, layout, tpu_safe, max_cubes=1 << 14, max_vertices=1 << 16):
+    from tsdf_tpu.ops.marching_cubes import _extract_jit
+
+    return _extract_jit(
+        vol.tsdf, vol.voxel_size, vol.offset,
+        max_cubes, max_vertices, layout, tpu_safe,
+    )
+
+
+def _vertex_set(soup):
+    """Valid (vertex, voxel-pair) rows, sorted by the exact integer
+    voxel pair (which determines the edge, hence the position)."""
+    v = np.asarray(soup.vertices)[np.asarray(soup.valid)]
+    x = np.asarray(soup.vertex_voxels)[np.asarray(soup.valid)]
+    order = np.lexsort((x[:, 1], x[:, 0]))
+    return v[order], x[order]
+
+
+def test_tpu_safe_path_matches_xla_path():
+    """The sort-compaction + lane-gather + matmul-scatter graph (what
+    runs on the chip) is equivalent to the plain XLA graph (voxel pairs exact; positions to
+    f32 fusion tolerance)."""
+    vol, ref = _sphere_soup()
+    got = _force_path(vol, "dense", True)
+    assert int(got.n_vertices) == int(ref.n_vertices)
+    rv, rx = _vertex_set(ref)
+    gv, gx = _vertex_set(got)
+    np.testing.assert_array_equal(gx, rx)
+    np.testing.assert_allclose(gv, rv, atol=1e-3)
+    # dense layout: live slots are exactly the compacted prefix
+    assert np.asarray(got.valid)[: int(got.n_vertices)].all()
+
+
+@pytest.mark.parametrize("tpu_safe", [False, True])
+def test_masked_layout_matches_dense(tpu_safe):
+    """Masked (slot-position) soup holds the same vertex multiset as the
+    dense one — only the packing differs."""
+    vol, ref = _sphere_soup()
+    got = _force_path(vol, "masked", tpu_safe)
+    assert int(got.n_vertices) == int(ref.n_vertices)
+    assert int(np.asarray(got.valid).sum()) == int(ref.n_vertices)
+    rv, rx = _vertex_set(ref)
+    gv, gx = _vertex_set(got)
+    np.testing.assert_array_equal(gx, rx)
+    np.testing.assert_allclose(gv, rv, atol=1e-3)
+    # soup_to_numpy compacts masked soups preserving emission order
+    dv, _ = soup_to_numpy(ref)
+    mv, _ = soup_to_numpy(got)
+    np.testing.assert_allclose(mv, dv, atol=1e-3)
+
+
+def test_tpu_safe_large_voxel_indices():
+    """Voxel indices beyond f32's 2^24 integer range survive the
+    two-half f32 gather/scatter encoding (512^3 -> indices to 2^27)."""
+    from tsdf_tpu.ops.marching_cubes import _extract_arrays
+
+    n = 24
+    vol = make_volume((n, n, n), 1000.0, offset=(-500.0, -500.0, -500.0))
+    vol = fixtures.sphere_tsdf(vol, 300.0, centre=(0.0, 0.0, 0.0))
+    base = (1 << 26) + 12345
+    ref = _extract_arrays(
+        vol.tsdf, vol.voxel_size, vol.offset,
+        max_cubes=1 << 12, max_vertices=1 << 14,
+        voxel_index_base=base, tpu_safe=False,
+    )
+    got = _extract_arrays(
+        vol.tsdf, vol.voxel_size, vol.offset,
+        max_cubes=1 << 12, max_vertices=1 << 14,
+        voxel_index_base=base, tpu_safe=True,
+    )
+    rv, rx = _vertex_set(ref)
+    gv, gx = _vertex_set(got)
+    np.testing.assert_array_equal(gx, rx)
+    np.testing.assert_allclose(gv, rv, atol=1e-3)
+    assert rx.min() >= base

@@ -182,3 +182,81 @@ def test_scenefusion_periodic_dumps(tmp_path):
     assert (out / "frame_000.tsdf").exists()
     assert (out / "mesh_canonical_001.ply").exists()
     assert (out / "mesh_warped_001.ply").exists()
+
+
+def test_update_deformation_matmul_scatter_path():
+    """The matmul-scatter accumulation (the TPU path; ops/scatter.py)
+    matches XLA scatter-add exactly — counts, flow sums, corr count."""
+    vol, cam, depth = _sphere_setup()
+    flow = jnp.broadcast_to(
+        jnp.array([25.0, -5.0, 3.0], jnp.float32), (H, W, 3)
+    )
+    soup = extract_surface(vol, max_cubes=1 << 14, max_vertices=1 << 16)
+    ref, n_ref = update_deformation(
+        vol, soup, depth, cam, flow, tpu_safe=False
+    )
+    got, n_got = update_deformation(
+        vol, soup, depth, cam, flow, tpu_safe=True
+    )
+    assert int(n_got) == int(n_ref)
+    np.testing.assert_allclose(
+        np.asarray(got.deform), np.asarray(ref.deform), atol=1e-4
+    )
+
+
+def test_update_deformation_masked_soup():
+    """Masked-layout soup produces the same deformation update as the
+    dense one (same vertex multiset, different packing)."""
+    from tsdf_tpu.ops.marching_cubes import _extract_arrays
+
+    vol, cam, depth = _sphere_setup()
+    flow = jnp.broadcast_to(
+        jnp.array([25.0, 0.0, 0.0], jnp.float32), (H, W, 3)
+    )
+    dense = extract_surface(vol, max_cubes=1 << 14, max_vertices=1 << 16)
+    masked = _extract_arrays(
+        vol.tsdf, vol.voxel_size, vol.offset,
+        max_cubes=1 << 14, max_vertices=1,
+        layout="masked", tpu_safe=False,
+    )
+    ref, n_ref = update_deformation(vol, dense, depth, cam, flow)
+    got, n_got = update_deformation(vol, masked, depth, cam, flow)
+    assert int(n_got) == int(n_ref)
+    np.testing.assert_allclose(
+        np.asarray(got.deform), np.asarray(ref.deform), atol=1e-4
+    )
+
+
+def test_fused_step_matches_sequential():
+    """_sf_step_pallas (one jit: masked extract -> deformation update ->
+    warped integrate) == the sequential extract/update/integrate chain."""
+    from tsdf_tpu.pipelines.scenefusion import _sf_step_pallas
+    from tsdf_tpu.kernels.integrate import integrate_warped_pallas
+
+    vol, cam, depth = _sphere_setup()
+    flow = jnp.broadcast_to(
+        jnp.array([5.0, 0.0, 0.0], jnp.float32), (H, W, 3)
+    )
+    got, miss, n_corr = _sf_step_pallas(
+        vol, depth, flow, cam,
+        max_cubes=1 << 14, nk=5,
+        threshold_mm=10.0, tpu_safe=False,
+    )
+    assert int(miss) == 0
+    assert int(n_corr) > 100
+
+    soup = extract_surface(vol, max_cubes=1 << 14, max_vertices=1 << 16)
+    mid, n_ref = update_deformation(vol, soup, depth, cam, flow)
+    ref, miss_ref = integrate_warped_pallas(
+        mid, depth, cam, nk=5, interpret=True
+    )
+    assert int(n_corr) == int(n_ref)
+    np.testing.assert_allclose(
+        np.asarray(got.deform), np.asarray(ref.deform), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.tsdf), np.asarray(ref.tsdf), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.weight), np.asarray(ref.weight), atol=1e-5
+    )

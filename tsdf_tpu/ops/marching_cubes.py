@@ -8,27 +8,44 @@ are one jit graph with static shapes:
 
   1. classify every cube from 8 shifted sign slices (pure VPU, no
      gather);
-  2. compact occupied cubes on-device: `jnp.cumsum` ranks + scatter into
-     a fixed-size cube list (replacing the host scan);
+  2. compact occupied cubes on-device;
   3. sweep the occupied cubes: look up the triangulation
-     (ops/mc_tables.py), interpolate edge zero-crossings, and scatter
-     vertices to their cumsum offsets.
+     (ops/mc_tables.py), interpolate edge zero-crossings, and emit
+     vertices.
+
+Two backend strategies share the same math (``tpu_safe`` flag):
+
+  - CPU/XLA path: cumsum-rank compaction with ``.at[].set`` scatters and
+    plain gathers — XLA:CPU lowers these well.
+  - TPU path: XLA:TPU lowers generic scatter to a serial loop and its
+    element gathers run at ~0.04 G lookups/s with pathological compile
+    times at volume scale (round-1 finding), so compaction is ONE
+    ``lax.sort`` of (cube-id-if-occupied, type) pairs (86 ms for the
+    16.6M cubes of a 255³ grid on v5e), the 256-entry table lookups are
+    ``lane_gather`` kernels over a tiled table, and the dense vertex
+    compaction is the sorted-window matmul scatter (ops/scatter.py).
 
 Outputs are fixed-size padded buffers + counts (jit-friendly); triangle
-soup semantics match the reference (every 3 consecutive vertices = one
-triangle, vertices ordered so normals point toward positive TSDF).
+soup semantics match the reference (every 3 consecutive valid vertices =
+one triangle, vertices ordered so normals point toward positive TSDF).
 Per-vertex bracketing-voxel indices are emitted for SceneFusion's
 deformation-field update (ref: generate_vertices
 MarkAndSweepMC.cu:290-301).
+
+``layout="masked"`` skips the dense vertex compaction entirely: vertices
+stay in their (cube, slot) positions with an explicit validity mask.
+That is the per-frame SceneFusion form — every consumer there is a
+masked reduction, so compaction would be pure wasted scatter bandwidth.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..volume import TSDFVolume
 from .mc_tables import (
@@ -38,18 +55,33 @@ from .mc_tables import (
     TRI_TABLE,
     VERT_COUNTS,
 )
+from .scatter import scatter_add_flat
 
 _MAX_V = MAX_TRIS * 3
+_INT_MAX = np.int32(0x7FFFFFFF)
+
+# The TPU occupancy test is a compare, not a table lookup: a cube emits
+# vertices iff its type is neither empty nor full. True for any valid MC
+# triangulation table; asserted once against the derived tables.
+assert bool(
+    np.all(
+        (np.asarray(VERT_COUNTS) > 0)
+        == ((np.arange(256) != 0) & (np.arange(256) != 255))
+    )
+), "MC tables violate the type!=0,255 <=> occupied invariant"
 
 
 class TriangleSoup(NamedTuple):
     """Fixed-size triangle soup; every 3 consecutive valid vertices form
-    one triangle."""
+    one triangle. ``valid`` marks live slots: in the dense layout it is
+    simply ``arange < n_vertices``; in the masked layout (SceneFusion)
+    live vertices stay at their (cube, slot) positions."""
 
     vertices: jnp.ndarray  # (max_vertices, 3) f32 world mm; garbage past n
     vertex_voxels: jnp.ndarray  # (max_vertices, 2) i32 flat voxel indices
     n_vertices: jnp.ndarray  # () i32 — number of valid vertices
     overflowed: jnp.ndarray  # () bool — buffers were too small
+    valid: jnp.ndarray  # (max_vertices,) bool
 
 
 def extract_surface(
@@ -57,6 +89,7 @@ def extract_surface(
     max_cubes: int = 1 << 18,
     max_vertices: int = 1 << 20,
     on_cpu: bool | None = None,
+    layout: str = "dense",
 ) -> TriangleSoup:
     """Extract the zero isosurface as a triangle soup.
 
@@ -64,19 +97,22 @@ def extract_surface(
       vol: the volume; tsdf < 0 is inside (ref: calculate_cube_type
         MarkAndSweepMC.cu:110-124).
       max_cubes: static capacity for occupied cubes.
-      max_vertices: static capacity for emitted vertices.
-      on_cpu: run the extraction on the host CPU backend. Default: auto
-        — True whenever the default backend is an accelerator, because
-        XLA:TPU's lowering of the compaction scatters/gathers here has
-        pathological compile times (mesh extraction is a cold path whose
-        output goes to host PLY writers anyway; the brick-sharded
-        on-device variant is parallel/ops.extract_surface_sharded).
+      max_vertices: static capacity for emitted vertices (dense layout;
+        the masked layout's capacity is ``max_cubes * 15``).
+      on_cpu: run the extraction on the host CPU backend. Default False:
+        the TPU-safe path (sort compaction + lane-gather tables + matmul
+        scatter) keeps extraction on-device. Set True to run on host
+        (e.g. one-shot mesh export where the volume already needs a D2H
+        copy for the PLY writer anyway).
+      layout: "dense" — vertices compacted to [0, n_vertices); "masked"
+        — vertices at (cube, slot) positions with ``valid`` mask
+        (SceneFusion's per-frame form; skips the compaction scatter).
 
     Returns:
       TriangleSoup. If ``overflowed`` is set, re-run with larger caps.
     """
     if on_cpu is None:
-        on_cpu = jax.default_backend() != "cpu"
+        on_cpu = False
     if on_cpu and jax.default_backend() != "cpu":
         cpu = jax.devices("cpu")[0]
         tsdf = jax.device_put(jax.device_get(vol.tsdf), cpu)
@@ -84,18 +120,77 @@ def extract_surface(
         offset = jax.device_put(jax.device_get(vol.offset), cpu)
         with jax.default_device(cpu):
             return _extract_jit(
-                tsdf, voxel_size, offset, max_cubes, max_vertices
+                tsdf, voxel_size, offset, max_cubes, max_vertices,
+                layout, False,
             )
+    tpu_safe = jax.default_backend() == "tpu"
     return _extract_jit(
-        vol.tsdf, vol.voxel_size, vol.offset, max_cubes, max_vertices
+        vol.tsdf, vol.voxel_size, vol.offset, max_cubes, max_vertices,
+        layout, tpu_safe,
     )
 
 
-@partial(jax.jit, static_argnames=("max_cubes", "max_vertices"))
-def _extract_jit(tsdf, voxel_size, offset, max_cubes, max_vertices):
+@partial(
+    jax.jit,
+    static_argnames=("max_cubes", "max_vertices", "layout", "tpu_safe"),
+)
+def _extract_jit(
+    tsdf, voxel_size, offset, max_cubes, max_vertices, layout, tpu_safe
+):
     return _extract_arrays(
         tsdf, voxel_size, offset,
         max_cubes=max_cubes, max_vertices=max_vertices,
+        layout=layout, tpu_safe=tpu_safe,
+    )
+
+
+def _table_lookup(
+    table: np.ndarray | jnp.ndarray,
+    idx: jnp.ndarray,
+    tpu_safe: bool,
+) -> jnp.ndarray:
+    """out[...] = table[idx[...]] for a small shared 1-D table.
+
+    TPU path: tile the table per 128-lane row block and run the
+    lane_gather kernel (XLA:TPU per-element gathers crawl; a 256-entry
+    table is 2 vreg blocks). Table values must be exact in f32.
+    """
+    table = jnp.asarray(table)
+    w = table.shape[0]
+    if not tpu_safe:
+        return jnp.take(table, jnp.clip(idx, 0, w - 1), axis=0)
+    from ..kernels.gather import lane_gather_op
+
+    out_int = jnp.issubdtype(table.dtype, jnp.integer)
+    flat = jnp.clip(idx.ravel(), 0, w - 1)
+    m = flat.shape[0]
+    s = -(-m // 128)
+    idxp = jnp.pad(flat, (0, s * 128 - m)).reshape(s, 128)
+    tab = jnp.broadcast_to(
+        jnp.asarray(table, jnp.float32)[None, :], (s, w)
+    )
+    interpret = jax.default_backend() != "tpu"
+    got = (
+        lane_gather_op(tab, idxp, interpret=interpret)
+        .reshape(-1)[:m]
+        .reshape(idx.shape)
+    )
+    if out_int:
+        return jnp.round(got).astype(table.dtype)
+    return got
+
+
+def _slot_gather(
+    table: jnp.ndarray, idx: jnp.ndarray, tpu_safe: bool
+) -> jnp.ndarray:
+    """out[r, c] = table[r, idx[r, c]] for a narrow per-row table
+    (edge -> vertex resolution, W=12). f32 only."""
+    if not tpu_safe:
+        return jnp.take_along_axis(table, idx, axis=1)
+    from ..kernels.gather import lane_gather_op
+
+    return lane_gather_op(
+        table, idx, interpret=jax.default_backend() != "tpu"
     )
 
 
@@ -107,6 +202,8 @@ def _extract_arrays(
     max_vertices: int,
     n_cube_z=None,
     voxel_index_base=None,
+    layout: str = "dense",
+    tpu_safe: bool = False,
 ) -> TriangleSoup:
     """Core extraction over raw arrays.
 
@@ -116,7 +213,9 @@ def _extract_arrays(
         path where a brick's halo row must not emit duplicates.
       voxel_index_base: added to emitted flat voxel indices (sharded
         path: convert brick-local to global indices).
+      layout / tpu_safe: see extract_surface.
     """
+    assert layout in ("dense", "masked"), layout
     Z, Y, X = d.shape
     d = jnp.asarray(d, jnp.float32)  # bf16 storage: interpolate in f32
     inside = d < 0.0
@@ -124,6 +223,7 @@ def _extract_arrays(
     # --- phase 1: classify -------------------------------------------------
     # corner k of cube (z, y, x) is voxel (z + dz, y + dy, x + dx)
     cz, cy, cx = Z - 1, Y - 1, X - 1
+    n_cubes = cz * cy * cx
     cube_type = jnp.zeros((cz, cy, cx), jnp.int32)
     for k in range(8):
         dx, dy, dz = (int(v) for v in CORNER_OFFSETS[k])
@@ -131,38 +231,63 @@ def _extract_arrays(
         cube_type = cube_type | (bit.astype(jnp.int32) << k)
     cube_type = cube_type.ravel()
 
-    vert_counts = jnp.asarray(VERT_COUNTS, jnp.int32)[cube_type]
-    occupied = vert_counts > 0
+    occupied = (cube_type != 0) & (cube_type != 255)
     if n_cube_z is not None:
-        zrow = (
-            jnp.arange(cz * cy * cx, dtype=jnp.int32) // (cy * cx)
-        )
+        zrow = jnp.arange(n_cubes, dtype=jnp.int32) // (cy * cx)
         occupied = occupied & (zrow < n_cube_z)
+    n_occ = jnp.sum(occupied.astype(jnp.int32))
 
     # --- phase 2: compact occupied cubes on-device -------------------------
-    occ_rank = jnp.cumsum(occupied.astype(jnp.int32)) - 1
-    n_occ = occ_rank[-1] + 1
-    scatter_to = jnp.where(occupied, occ_rank, max_cubes)
-    cube_ids = (
-        jnp.zeros(max_cubes, jnp.int32)
-        .at[scatter_to]
-        .set(jnp.arange(cube_type.shape[0], dtype=jnp.int32), mode="drop")
-    )
-    # per-cube vertex write offsets (exclusive cumsum over occupied only)
-    occ_counts = jnp.where(occupied, vert_counts, 0)
-    offsets_all = jnp.cumsum(occ_counts) - occ_counts
-    cube_offsets = (
-        jnp.zeros(max_cubes, jnp.int32)
-        .at[scatter_to]
-        .set(offsets_all, mode="drop")
-    )
-    n_verts = jnp.sum(occ_counts)
-
-    cube_valid = jnp.arange(max_cubes) < n_occ
+    if tpu_safe:
+        # ONE sort of (cube-id-if-occupied, type): occupied ids ascend,
+        # empties sink to the end as INT_MAX. Rank order == id order, so
+        # the sorted prefix IS the compacted cube list.
+        key = jnp.where(
+            occupied,
+            jnp.arange(n_cubes, dtype=jnp.int32),
+            _INT_MAX,
+        )
+        if n_cubes < max_cubes:
+            key = jnp.pad(key, (0, max_cubes - n_cubes),
+                          constant_values=_INT_MAX)
+            cube_type_p = jnp.pad(cube_type, (0, max_cubes - n_cubes))
+        else:
+            cube_type_p = cube_type
+        skey, stype = jax.lax.sort([key, cube_type_p], num_keys=1)
+        cube_valid = skey[:max_cubes] < _INT_MAX
+        cid = jnp.where(cube_valid, skey[:max_cubes], 0)
+        types = jnp.where(cube_valid, stype[:max_cubes], 0)
+        vert_counts_c = _table_lookup(
+            jnp.asarray(VERT_COUNTS, jnp.int32), types, True
+        )
+        occ_counts_c = jnp.where(cube_valid, vert_counts_c, 0)
+        cube_offsets = jnp.cumsum(occ_counts_c) - occ_counts_c
+        n_verts = jnp.sum(occ_counts_c)
+    else:
+        vert_counts = jnp.take(
+            jnp.asarray(VERT_COUNTS, jnp.int32), cube_type, axis=0
+        )
+        occ_rank = jnp.cumsum(occupied.astype(jnp.int32)) - 1
+        scatter_to = jnp.where(occupied, occ_rank, max_cubes)
+        cid = (
+            jnp.zeros(max_cubes, jnp.int32)
+            .at[scatter_to]
+            .set(jnp.arange(n_cubes, dtype=jnp.int32), mode="drop")
+        )
+        # per-cube vertex write offsets (exclusive cumsum over occupied)
+        occ_counts = jnp.where(occupied, vert_counts, 0)
+        offsets_all = jnp.cumsum(occ_counts) - occ_counts
+        cube_offsets = (
+            jnp.zeros(max_cubes, jnp.int32)
+            .at[scatter_to]
+            .set(offsets_all, mode="drop")
+        )
+        n_verts = jnp.sum(occ_counts)
+        cube_valid = jnp.arange(max_cubes) < n_occ
+        types = jnp.take(cube_type, cid, axis=0)
 
     # --- phase 3: sweep ----------------------------------------------------
     # geometry of the occupied cubes
-    cid = cube_ids
     cub_z = cid // (cy * cx)
     rem = cid - cub_z * (cy * cx)
     cub_y = rem // cx
@@ -177,7 +302,11 @@ def _extract_arrays(
         vy = cub_y + dy
         vz = cub_z + dz
         lin = (vz * Y + vy) * X + vx
-        w = jnp.take(flat_d, lin, axis=0)
+        # one element gather per corner: 8 x max_cubes lookups. At the
+        # 255^3 working size this is 2M lookups = ~48 ms on v5e —
+        # acceptable for the surface pass; NOT the dense-volume gather
+        # class that is banned from hot paths.
+        w = jnp.take(flat_d, lin, axis=0, mode="clip")
         centre = (
             jnp.stack(
                 [
@@ -213,43 +342,122 @@ def _extract_arrays(
     if voxel_index_base is not None:
         edge_vox = edge_vox + voxel_index_base
 
-    # triangulation lookup + scatter to offsets
-    types = cube_type[cid]  # (max_cubes,)
-    tri_edges = jnp.asarray(TRI_TABLE, jnp.int32)[types]  # (max_cubes, _MAX_V)
+    # triangulation lookup: 15 slot-edges per cube from the 256-row table
+    tri_table = jnp.asarray(TRI_TABLE, jnp.int32)
+    if tpu_safe:
+        tri_edges = jnp.stack(
+            [
+                _table_lookup(tri_table[:, j], types, True)
+                for j in range(_MAX_V)
+            ],
+            axis=-1,
+        )
+    else:
+        tri_edges = tri_table[types]  # (max_cubes, _MAX_V)
     slot_valid = (tri_edges >= 0) & cube_valid[:, None]
     edge_idx = jnp.maximum(tri_edges, 0)
 
-    vert = jnp.take_along_axis(edge_verts, edge_idx[..., None], axis=1)
-    vvox = jnp.take_along_axis(edge_vox, edge_idx[..., None], axis=1)
+    if tpu_safe:
+        vert = jnp.stack(
+            [
+                _slot_gather(edge_verts[:, :, ch], edge_idx, True)
+                for ch in range(3)
+            ],
+            axis=-1,
+        )
+        # voxel indices can exceed f32's 2^24 integer range (512^3 =
+        # 2^27); ride the f32 gather in two 12-bit halves
+        vvox_parts = []
+        for ch in range(2):
+            lo = (edge_vox[:, :, ch] & 0xFFF).astype(jnp.float32)
+            hi = (edge_vox[:, :, ch] >> 12).astype(jnp.float32)
+            glo = _slot_gather(lo, edge_idx, True)
+            ghi = _slot_gather(hi, edge_idx, True)
+            vvox_parts.append(
+                jnp.round(glo).astype(jnp.int32)
+                + (jnp.round(ghi).astype(jnp.int32) << 12)
+            )
+        vvox = jnp.stack(vvox_parts, axis=-1)
+    else:
+        vert = jnp.take_along_axis(edge_verts, edge_idx[..., None], axis=1)
+        vvox = jnp.take_along_axis(edge_vox, edge_idx[..., None], axis=1)
+
+    if layout == "masked":
+        n_slots = max_cubes * _MAX_V
+        overflowed = n_occ > max_cubes
+        return TriangleSoup(
+            vertices=vert.reshape(n_slots, 3),
+            vertex_voxels=vvox.reshape(n_slots, 2),
+            n_vertices=jnp.minimum(n_verts, n_slots),
+            overflowed=overflowed,
+            valid=slot_valid.reshape(n_slots),
+        )
 
     dest = cube_offsets[:, None] + jnp.arange(_MAX_V, dtype=jnp.int32)[None, :]
-    dest = jnp.where(slot_valid, dest, max_vertices)
-
-    vertices = (
-        jnp.zeros((max_vertices, 3), jnp.float32)
-        .at[dest.ravel()]
-        .set(vert.reshape(-1, 3), mode="drop")
-    )
-    vertex_voxels = (
-        jnp.zeros((max_vertices, 2), jnp.int32)
-        .at[dest.ravel()]
-        .set(vvox.reshape(-1, 2), mode="drop")
-    )
+    if tpu_safe:
+        # matmul-scatter compaction (ops/scatter.py). Valid dests ascend
+        # (offsets are a cumsum); invalid slots re-target the previous
+        # valid dest via a running max and contribute zeros — harmless
+        # for ADD with unique real targets, and the stream stays sorted
+        # so no sort pass is needed.
+        sv = slot_valid.ravel()
+        lin = jnp.where(sv, dest.ravel(), -1)
+        lin = jnp.maximum(jax.lax.cummax(lin), 0)
+        lin = jnp.where(lin >= max_vertices, max_vertices, lin)
+        payload = jnp.concatenate(
+            [
+                jnp.where(sv, vert.reshape(-1, 3).T, 0.0),
+                jnp.where(sv, (vvox.reshape(-1, 2).T & 0xFFF), 0).astype(
+                    jnp.float32
+                ),
+                jnp.where(sv, (vvox.reshape(-1, 2).T >> 12), 0).astype(
+                    jnp.float32
+                ),
+            ],
+            axis=0,
+        )  # (7, n_slots)
+        out = scatter_add_flat(max_vertices, lin, payload, is_sorted=True)
+        vertices = out[:3].T
+        vertex_voxels = (
+            jnp.round(out[3:5]).astype(jnp.int32)
+            + (jnp.round(out[5:7]).astype(jnp.int32) << 12)
+        ).T
+    else:
+        dest = jnp.where(slot_valid, dest, max_vertices)
+        vertices = (
+            jnp.zeros((max_vertices, 3), jnp.float32)
+            .at[dest.ravel()]
+            .set(vert.reshape(-1, 3), mode="drop")
+        )
+        vertex_voxels = (
+            jnp.zeros((max_vertices, 2), jnp.int32)
+            .at[dest.ravel()]
+            .set(vvox.reshape(-1, 2), mode="drop")
+        )
 
     overflowed = (n_occ > max_cubes) | (n_verts > max_vertices)
+    n_out = jnp.minimum(n_verts, max_vertices)
     return TriangleSoup(
         vertices=vertices,
         vertex_voxels=vertex_voxels,
-        n_vertices=jnp.minimum(n_verts, max_vertices),
+        n_vertices=n_out,
         overflowed=overflowed,
+        valid=jnp.arange(max_vertices) < n_out,
     )
 
 
 def soup_to_numpy(soup: TriangleSoup):
-    """Host-side: (n, 3) vertices f32 + (n/3, 3) triangle index array."""
-    import numpy as np
+    """Host-side: (n, 3) vertices f32 + (n/3, 3) triangle index array.
 
+    Accepts both layouts: masked soups are compacted here with numpy
+    (slot order == emission order, so triangles stay contiguous).
+    """
     n = int(soup.n_vertices)
-    verts = np.asarray(soup.vertices)[:n]
+    valid = np.asarray(soup.valid)
+    verts_all = np.asarray(soup.vertices)
+    if valid[:n].all():  # dense layout
+        verts = verts_all[:n]
+    else:
+        verts = verts_all[valid][:n]
     tris = np.arange(n - n % 3, dtype=np.int32).reshape(-1, 3)
     return verts, tris

@@ -27,6 +27,7 @@ disappears: masking does the same work without leaving the device.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional
 
 import jax
@@ -34,7 +35,12 @@ import jax.numpy as jnp
 
 from ..camera import Camera
 from ..ops.integrate import integrate
-from ..ops.marching_cubes import TriangleSoup, extract_surface
+from ..ops.marching_cubes import (
+    TriangleSoup,
+    _extract_arrays,
+    extract_surface,
+)
+from ..ops.scatter import scatter_add_flat
 from ..volume import TSDFVolume, make_volume
 
 # ref: SceneFusion_krnl.cu:15
@@ -73,20 +79,28 @@ def update_deformation(
     camera: Camera,
     flow: jnp.ndarray,
     threshold_mm: float = CORRESPONDENCE_THRESHOLD_MM,
+    tpu_safe: bool | None = None,
 ) -> tuple[TSDFVolume, jnp.ndarray]:
     """Apply one scene-flow observation to the deformation field.
 
     Args:
-      soup: current surface mesh (vertices + bracketing voxel pairs).
+      soup: current surface mesh (vertices + bracketing voxel pairs),
+        dense or masked layout.
       depth: (H, W) mm.
       flow: (H, W, 3) mm scene flow per pixel.
+      tpu_safe: route the per-voxel accumulation through the sorted
+        matmul scatter (ops/scatter.py) instead of XLA scatter-add —
+        XLA:TPU's scatter lowering took 26-39 s/frame on the 16.6M-voxel
+        field at 255³ (round-2 measurement); the matmul scatter runs the
+        same update in tens of ms. Default: auto by backend.
 
     Returns (updated volume, number of corresponding vertices).
     """
+    if tpu_safe is None:
+        tpu_safe = jax.default_backend() == "tpu"
     depth = jnp.asarray(depth, jnp.float32)
     h, w = depth.shape
-    n_slots = soup.vertices.shape[0]
-    slot_valid = jnp.arange(n_slots) < soup.n_vertices
+    slot_valid = soup.valid
 
     verts = soup.vertices
     pix = camera.world_to_pixel(verts)  # (N, 2) rounded
@@ -95,7 +109,13 @@ def update_deformation(
     in_img = (px >= 0) & (px < w) & (py >= 0) & (py < h) & slot_valid
     lin = jnp.clip(py, 0, h - 1) * w + jnp.clip(px, 0, w - 1)
 
-    d = jnp.take(depth.ravel(), lin, axis=0)
+    # one fused image gather: [depth, flow] as 4 channels per pixel
+    img = jnp.concatenate(
+        [depth.reshape(-1, 1), jnp.asarray(flow, jnp.float32).reshape(-1, 3)],
+        axis=-1,
+    )
+    g = jnp.take(img, lin, axis=0, mode="clip")  # (N, 4)
+    d = g[:, 0]
     # reproject the pixel at the observed depth and compare world z
     # (ref: SceneFusion_krnl.cu:100-105 — depth-only distance)
     pix_f = jnp.stack([px, py], axis=-1).astype(jnp.float32)
@@ -103,30 +123,87 @@ def update_deformation(
     corr = in_img & (d > 0) & (
         jnp.abs(reproj[..., 2] - verts[..., 2]) < threshold_mm
     )
+    flow_at_vert = jnp.where(corr[:, None], g[:, 1:], 0.0)
 
-    # per-voxel mesh-usage counts over ALL mesh vertices
-    # (ref: atomicIncUint8 during generate_vertices MC.cu:297-298)
+    # per-voxel accumulation: mesh-usage counts over ALL mesh vertices
+    # (ref: atomicIncUint8 during generate_vertices MC.cu:297-298) and
+    # flow sums over corresponding vertices — both bracketing voxels of
+    # each vertex receive the contribution (SceneFusion_krnl.cu:211-232;
+    # the reference's adds race, here they are deterministic sums).
     n_vox = vol.tsdf.size
     vox = soup.vertex_voxels  # (N, 2)
-    vox_safe = jnp.where(slot_valid[:, None], vox, n_vox)
-    counts = jnp.zeros(n_vox + 1, jnp.float32).at[vox_safe.ravel()].add(
-        1.0, mode="drop"
-    )[:n_vox]
-
-    flow_at_vert = jnp.take(
-        flow.reshape(-1, 3), lin, axis=0
-    )  # (N, 3)
-    flow_at_vert = jnp.where(corr[:, None], flow_at_vert, 0.0)
-
-    vox_corr = jnp.where(corr[:, None], vox, n_vox)  # drop non-corr
-    flow_sum = (
-        jnp.zeros((n_vox + 1, 3), jnp.float32)
-        .at[vox_corr.ravel()]
-        .add(jnp.repeat(flow_at_vert, 2, axis=0), mode="drop")[:n_vox]
-    )
+    if tpu_safe:
+        vox2 = vox.ravel()  # (2N,) — vertex i contributes at 2i, 2i+1
+        sv2 = jnp.repeat(slot_valid, 2)
+        flow2 = jnp.repeat(flow_at_vert, 2, axis=0)  # already corr-masked
+        lin2 = jnp.where(sv2, vox2, -1)  # out of range -> dropped
+        payload = jnp.concatenate(
+            [sv2.astype(jnp.float32)[None, :], flow2.T], axis=0
+        )  # (4, 2N)
+        acc = scatter_add_flat(n_vox, lin2, payload)
+        counts = acc[0]
+        flow_sum = acc[1:4].T
+    else:
+        vox_safe = jnp.where(slot_valid[:, None], vox, n_vox)
+        counts = jnp.zeros(n_vox + 1, jnp.float32).at[
+            vox_safe.ravel()
+        ].add(1.0, mode="drop")[:n_vox]
+        vox_corr = jnp.where(corr[:, None], vox, n_vox)  # drop non-corr
+        flow_sum = (
+            jnp.zeros((n_vox + 1, 3), jnp.float32)
+            .at[vox_corr.ravel()]
+            .add(jnp.repeat(flow_at_vert, 2, axis=0), mode="drop")[:n_vox]
+        )
     delta = flow_sum / jnp.maximum(counts, 1.0)[:, None]
     new_deform = vol.deform + delta.reshape(vol.deform.shape)
     return vol.replace(deform=new_deform), jnp.sum(corr.astype(jnp.int32))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_cubes", "nk", "threshold_mm", "tpu_safe"),
+)
+def _sf_step_pallas(
+    vol: TSDFVolume,
+    depth: jnp.ndarray,
+    flow: jnp.ndarray,
+    camera: Camera,
+    *,
+    max_cubes: int,
+    nk: int,
+    threshold_mm: float,
+    tpu_safe: bool,
+):
+    """One fused SceneFusion frame: masked-layout surface extraction ->
+    deformation-field update -> warped-volume Pallas integrate, all in
+    ONE jit so the host never syncs mid-frame (the same fusion that took
+    tracked KinectFusion from 83 to 36.6 ms/frame through the remote
+    tunnel; ref loop: SceneFusion.cpp:84-185).
+
+    Returns (volume, integrate-miss count, correspondence count). A
+    non-zero miss means the accumulated warp exceeded the kernel's
+    horizontal pixel budget for some voxel; the caller re-runs the
+    integrate through the lax path (exact-or-skip — no observation is
+    ever silently lost).
+    """
+    from ..kernels.integrate import integrate_warped_pallas
+
+    soup = _extract_arrays(
+        vol.tsdf,
+        vol.voxel_size,
+        vol.offset,
+        max_cubes=max_cubes,
+        max_vertices=1,  # unused by the masked layout
+        layout="masked",
+        tpu_safe=tpu_safe,
+    )
+    vol, n_corr = update_deformation(
+        vol, soup, depth, camera, flow, threshold_mm, tpu_safe=tpu_safe
+    )
+    out, miss = integrate_warped_pallas(
+        vol, depth, camera, nk=nk, interpret=not tpu_safe
+    )
+    return out, miss, n_corr
 
 
 class SceneFusion:
@@ -160,7 +237,31 @@ class SceneFusion:
         """Observer callback (ref: SceneFusion::process_frames :84-185)."""
         depth = jnp.asarray(depth)
         cfg = self.config
-        if self.last_depth is not None:
+        if self.last_depth is not None and cfg.use_pallas:
+            _t, _r, flow = self.sfa.compute_scene_flow(depth, colour)
+            tpu_safe = jax.default_backend() == "tpu"
+            vol, miss, _n = _sf_step_pallas(
+                self.volume,
+                jnp.asarray(depth, jnp.float32),
+                jnp.asarray(flow, jnp.float32),
+                self.camera,
+                max_cubes=cfg.max_cubes,
+                nk=cfg.integrate_nk,
+                threshold_mm=cfg.threshold_mm,
+                tpu_safe=tpu_safe,
+            )
+            if int(miss) == 0:
+                self.volume = vol
+            else:
+                # integrate skipped voxels: redo through the lax path on
+                # the post-deformation volume (deform is untouched by
+                # the integrate, so it can be lifted off the step output)
+                self.volume = integrate(
+                    self.volume.replace(deform=vol.deform),
+                    depth,
+                    self.camera,
+                )
+        elif self.last_depth is not None:
             _t, _r, flow = self.sfa.compute_scene_flow(depth, colour)
             soup = extract_surface(
                 self.volume,
@@ -175,7 +276,9 @@ class SceneFusion:
                 jnp.asarray(flow),
                 cfg.threshold_mm,
             )
-        self.volume = self._integrate(depth)
+            self.volume = self._integrate(depth)
+        else:
+            self.volume = self._integrate(depth)
         self.last_depth = depth
         if self.dump_every and self.frame_index % self.dump_every == 0:
             self.dump(self.frame_index)
