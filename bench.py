@@ -192,6 +192,59 @@ def main():
         _note(f"kinfu failed: {type(e).__name__}: {e}")
         kinfu_ms = None
 
+    # Fused non-rigid SceneFusion frame (masked-soup extract ->
+    # matmul-scatter deformation update -> warped Pallas integrate, one
+    # jit) at the reference's 255^3 default (SceneFusion.cpp:49).
+    sf_ms = None
+    try:
+        from tsdf_tpu.ops.raycast import render_to_depth_image
+        from tsdf_tpu.pipelines.scenefusion import (
+            SceneFusionConfig,
+            _sf_step_pallas,
+        )
+
+        sf_cfg = SceneFusionConfig()
+        sf_vol = fixtures.sphere_tsdf(
+            sf_cfg.make_volume(), 500.0, centre=(0.0, 0.0, 1300.0)
+        )
+        sf_cam = (
+            Camera.default_depth_camera()
+            .move_to([0.0, 0.0, 100.0])
+            .look_at([0.0, 0.0, 1300.0])
+        )
+        _note("scenefusion depth render")
+        sf_depth = jnp.asarray(
+            render_to_depth_image(sf_vol, sf_cam, width=width, height=height),
+            jnp.float32,
+        )
+        sf_flow = jnp.broadcast_to(
+            jnp.array([4.0, 0.0, 0.0], jnp.float32), (height, width, 3)
+        )
+
+        def sf_fn(v):
+            out, _miss, _n = _sf_step_pallas(
+                v, sf_depth, sf_flow, sf_cam,
+                max_cubes=sf_cfg.max_cubes, nk=sf_cfg.integrate_nk,
+                threshold_mm=sf_cfg.threshold_mm,
+                tpu_safe=jax.default_backend() == "tpu",
+            )
+            return out
+
+        _note("scenefusion warmup/compile")
+        sf_times = []
+        v3 = sf_fn(sf_vol)
+        _sync(v3.tsdf)
+        for _ in range(5):
+            t0 = time.perf_counter()
+            v3 = sf_fn(v3)
+            _sync(v3.tsdf)
+            sf_times.append(time.perf_counter() - t0)
+        sf_ms = float(np.median(sf_times)) * 1e3
+        _note(f"scenefusion done: {sf_ms:.1f} ms")
+    except Exception as e:
+        _note(f"scenefusion failed: {type(e).__name__}: {e}")
+        sf_ms = None
+
     baseline = None
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
@@ -219,6 +272,7 @@ def main():
                     "raycast_ms": dt_ray * 1e3,
                     "rays_per_s": rays_per_s,
                     "kinfu_tracked_ms_256": kinfu_ms,
+                    "scenefusion_ms_255": sf_ms,
                     "grid": grid,
                     "device": str(jax.devices()[0]),
                 },
