@@ -102,3 +102,39 @@ def test_take_flat_forward_and_grad():
     np.testing.assert_allclose(
         np.asarray(g_new), np.asarray(g_ref), rtol=1e-6, atol=1e-5
     )
+
+
+def test_lane_gather_windowed_matches_full():
+    """Windowed gather (per-tile index windows + miss counter) ==
+    full-scan lane gather; lane_gather_checked is exact even when tiles
+    overflow their window (miss > 0 -> on-device fallback)."""
+    import numpy as np
+
+    from tsdf_tpu.kernels.gather import (
+        lane_gather_checked,
+        lane_gather_op,
+        lane_gather_windowed_op,
+    )
+
+    rng = np.random.default_rng(3)
+    s, w, c = 96, 512, 200
+    tab = jnp.asarray(rng.standard_normal((s, w)).astype(np.float32))
+
+    # coherent: per-tile span < 128 -> zero misses, bitwise equal
+    narrow = jnp.asarray(
+        ((np.arange(c)[None, :] % 100) + (np.arange(s)[:, None] // 64) * 128)
+        .astype(np.int32) % w
+    )
+    ref = lane_gather_op(tab, narrow, interpret=True)
+    out, miss = lane_gather_windowed_op(tab, narrow, interpret=True)
+    assert int(miss) == 0
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    # wild indices incl. out-of-range: windowed alone misses, checked
+    # falls back and matches exactly (out-of-range -> 0 in both)
+    wild = jnp.asarray(rng.integers(-10, w + 10, (s, c)).astype(np.int32))
+    ref2 = lane_gather_op(tab, wild, interpret=True)
+    _, miss2 = lane_gather_windowed_op(tab, wild, interpret=True)
+    assert int(miss2) > 0
+    chk = lane_gather_checked(tab, wild, interpret=True)
+    np.testing.assert_array_equal(np.asarray(chk), np.asarray(ref2))

@@ -227,6 +227,7 @@ def icp_step_banded(
     angle_thresh: float = ANGLE_THRESH,
     cutoff: float = DEPTH_CUTOFF_MM,
     row_offset=0,
+    adaptive: bool = True,
 ):
     """icp_step with a TPU-fast banded correspondence lookup.
 
@@ -278,7 +279,16 @@ def icp_step_banded(
     d10 = jnp.zeros((hc, wc), jnp.float32)
     d01 = jnp.zeros((hc, wc), jnp.float32)
     dp = jnp.asarray(depth_prev, jnp.float32)
-    for k in range(-band, band + 2):
+
+    # Sweep only the row displacements that actually occur this
+    # iteration: the fixed [-band, band+1] sweep costs 2(band+1) roll +
+    # gather passes regardless of motion, but real inter-frame dy spans
+    # a few rows — lax.fori_loop with traced bounds makes the trip count
+    # data-adaptive with bit-identical outputs (every d** select is
+    # keyed on dy == k exactly as before; k_hi+2 covers the d01 tap at
+    # k-1). No correspondences found -> empty range -> zero passes.
+    def roll_pass(k, carry):
+        d00, d10, d01 = carry
         rolled = jnp.roll(dp, -k, axis=0)  # rolled[y] = dp[y + k]
         # align the model rows to this shard's rows
         window = jax.lax.dynamic_slice_in_dim(
@@ -289,6 +299,17 @@ def icp_step_banded(
         d00 = jnp.where(dy == k, c0, d00)
         d10 = jnp.where(dy == k, c1, d10)
         d01 = jnp.where(dy == k - 1, c0, d01)
+        return d00, d10, d01
+
+    if adaptive:
+        k_lo = jnp.min(jnp.where(found, dy, band + 1))
+        k_hi = jnp.max(jnp.where(found, dy, -band - 1))
+        d00, d10, d01 = jax.lax.fori_loop(
+            k_lo, k_hi + 2, roll_pass, (d00, d10, d01)
+        )
+    else:
+        for k in range(-band, band + 2):
+            d00, d10, d01 = roll_pass(k, (d00, d10, d01))
 
     # reconstruct v_prev / n_prev from depths (vertex_map/normal_map math)
     pxf2 = px.astype(jnp.float32)
@@ -336,7 +357,9 @@ def icp_step_banded(
     return A, b, jnp.sum(r * r), jnp.sum(mask.astype(jnp.float32))
 
 
-@partial(jax.jit, static_argnames=("levels", "iterations", "band"))
+@partial(
+    jax.jit, static_argnames=("levels", "iterations", "band", "adaptive")
+)
 def get_incremental_transformation(
     depth_curr: jnp.ndarray,
     depth_prev: jnp.ndarray,
@@ -347,6 +370,7 @@ def get_incremental_transformation(
     dist_thresh: float = DIST_THRESH_MM,
     angle_thresh: float = ANGLE_THRESH,
     band: int | None = None,
+    adaptive: bool = True,
 ) -> ICPResult:
     """Full coarse-to-fine ICP between two depth frames.
 
@@ -386,6 +410,7 @@ def get_incremental_transformation(
                     lfx, lfy, lcx, lcy,
                     band=max(band >> lvl, 8),
                     dist_thresh=dist_thresh, angle_thresh=angle_thresh,
+                    adaptive=adaptive,
                 )
             else:
                 A, b, res_sq, inliers = icp_step(
