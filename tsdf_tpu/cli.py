@@ -297,6 +297,7 @@ def cmd_sfusion(args):
         volume_size=(args.size,) * 3,
         physical_size_mm=args.physical,
         offset_mm=(-args.physical / 2, -args.physical / 2, 0.0),
+        max_cubes=args.max_cubes,
     )
     sf = SceneFusion(sfa, device, cfg, camera=_make_camera(args))
     device.start()
@@ -385,6 +386,8 @@ def main(argv=None):
     p.add_argument("-s", "--size", type=int, default=255)
     p.add_argument("--physical", type=float, default=2550.0)
     p.add_argument("--mesh", default="mesh.ply")
+    # surface-cube capacity: scale down with --size for small volumes
+    p.add_argument("--max-cubes", type=int, default=1 << 18)
     _add_camera_args(p)
     p.set_defaults(fn=cmd_sfusion)
 
