@@ -97,11 +97,51 @@ def test_bilateral_filter_preserves_edges():
     depth = np.full((48, 64), 1000.0, np.float32)
     depth[:, 32:] = 2000.0
     out = np.asarray(bilateral_filter(jnp.asarray(depth)))
-    # similarity weight exp(-1000/sigma_c^2) strongly damps cross-edge
-    # taps; the reference formula is linear in |dv| so a small residual
-    # pull remains
-    assert abs(out[24, 31] - 1000.0) < 100.0
-    assert abs(out[24, 32] - 2000.0) < 100.0
+    # Gaussian similarity weight: a 1000 mm edge is fully preserved
+    # (exp(-1000^2/2sigma_c^2) ~ 0) — the property projective ICP needs
+    assert abs(out[24, 31] - 1000.0) < 1.0
+    assert abs(out[24, 32] - 2000.0) < 1.0
     # far from the edge: untouched
     assert abs(out[24, 5] - 1000.0) < 1.0
     assert abs(out[24, 60] - 2000.0) < 1.0
+
+
+def test_fuse_frames_chunked_scan_matches_per_frame():
+    """The chunked lax.scan GT-pose fusion (_fuse_chunk_pallas, one
+    dispatch per fuse_chunk frames) == the per-frame dispatch path."""
+    import dataclasses
+
+    from tsdf_tpu.utils import fixtures
+
+    vol0 = make_volume((48,) * 3, 1500.0, offset=(-750.0, -750.0, 0.0))
+    scene = fixtures.sphere_tsdf(vol0, 300.0, centre=(0.0, 0.0, 750.0))
+    cams = [
+        Camera.from_intrinsics(FX, FY, CX, CY)
+        .move_to([10.0 * i, -5.0 * i, -200.0])
+        .look_at([0.0, 0.0, 750.0])
+        for i in range(5)
+    ]
+    frames = [
+        (render_to_depth_image(scene, c, width=W, height=H), c.pose)
+        for c in cams
+    ]
+    cfg = FusionConfig(
+        volume_size=(48,) * 3, physical_size_mm=1500.0,
+        offset_mm=(-750.0, -750.0, 0.0),
+        width=W, height=H, use_pallas=True,
+    )
+    chunked, cam_a = fuse_frames(
+        vol0, cams[0], frames, dataclasses.replace(cfg, fuse_chunk=2)
+    )
+    per_frame, cam_b = fuse_frames(
+        vol0, cams[0], frames, dataclasses.replace(cfg, fuse_chunk=1)
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked.tsdf), np.asarray(per_frame.tsdf), atol=1e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(chunked.weight), np.asarray(per_frame.weight)
+    )
+    np.testing.assert_allclose(
+        np.asarray(cam_a.pose), np.asarray(cam_b.pose), atol=0
+    )

@@ -4,15 +4,20 @@ TPU-native re-design of the reference's CPU ``BilateralFilter``
 (ref: src/BilateralFilter.cpp:15-121): a (2r+1)^2 window of shifted
 adds that XLA fuses — no LUTs needed on a vector machine.
 
-The *intended* math is replicated (the reference's exact weight
-formulas): spatial weight exp(-(dx^2+dy^2)/sigma_space^2), similarity
-weight exp(-|dv|/sigma_colour^2) (ref: :38-41), radius
-ceil(1.5*sigma_space) (ref: :17). Divergences from the reference, by
-intent: its 256-entry similarity LUT caps |dv| at 255 — an 8-bit-image
-artifact that would let a 2m depth edge bleed; here the same formula is
-evaluated without the cap. Its kernel-index skew at clipped borders and
-the byte-granular output write for 16bpp images (SURVEY.md §2.8) are
-not replicated either.
+Spatial weight exp(-(dx^2+dy^2)/sigma_space^2) and radius
+ceil(1.5*sigma_space) follow the reference (ref: :17, :38-41). The
+similarity weight is the standard Gaussian exp(-dv^2 / (2 sigma_c^2)),
+NOT the reference's exp(-|dv|/sigma_c^2): that formula was written for
+8-bit intensities (256-entry LUT, |dv| <= 255) and on mm-scale depth
+its decay constant is sigma_c^2 = 400 mm (at the default sigma_c=20) —
+no edge preservation at all. Measured consequence (round 2, v5e): with the reference formula a
+depth silhouette smears ~±7 px into the background, producing
+view-dependent fake surfaces that bias projective ICP — a clean 6.6 mm
+lateral step was estimated as 1.3 mm (5x under), destroying the
+500-frame tracked trajectory (ATE 44 mm). With the Gaussian weight the
+same step tracks to 0.35 mm. The reference's other 8-bit artifacts
+(kernel-index skew at clipped borders, byte-granular 16bpp writes,
+SURVEY.md §2.8) are likewise not replicated.
 
 Zero depth means "no data": such pixels contribute nothing and are left
 zero, which the reference's raw intensity filtering does not handle —
@@ -60,7 +65,8 @@ def bilateral_filter(
             tval = pvalid[
                 radius + dy : radius + dy + h, radius + dx : radius + dx + w
             ]
-            w_c = jnp.exp(-jnp.abs(tap - d) * inv_sc2)
+            dv = tap - d
+            w_c = jnp.exp(-(dv * dv) * (0.5 * inv_sc2))
             wgt = jnp.where(tval, w_s * w_c, 0.0)
             num = num + tap * wgt
             den = den + wgt

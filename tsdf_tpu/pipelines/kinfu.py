@@ -57,6 +57,11 @@ class FusionConfig:
     # below this fraction of the image, the frame is re-tracked with the
     # exact full-image association before accepting the pose.
     icp_min_inliers_frac: float = 0.02
+    # GT-pose fusion: lax.scan this many frames per dispatch. Through
+    # the remote tunnel each dispatch costs ~1 ms and un-pipelined
+    # per-frame dispatches were measured at 30 ms/frame for a 3.7 ms
+    # integrate (config-2 probe); a 16-frame scan is one dispatch.
+    fuse_chunk: int = 16
 
     def make_volume(self) -> TSDFVolume:
         return make_volume(
@@ -94,6 +99,42 @@ def _integrate(vol, depth, camera, config: FusionConfig, miss_log=None):
     return integrate(vol, depth, camera, cap_weight=config.cap_weight)
 
 
+@partial(jax.jit, static_argnames=("config",))
+def _fuse_chunk_pallas(
+    vol: TSDFVolume,
+    camera: Camera,
+    depths: jnp.ndarray,  # (N, H, W) f32 mm
+    poses: jnp.ndarray,  # (N, 4, 4) camera->world
+    *,
+    config: FusionConfig,
+):
+    """Scan-fuse a chunk of GT-pose frames in ONE dispatch.
+
+    The per-frame loop costs one host->device dispatch per frame; the
+    scan compiles the Pallas integrate once and runs the whole chunk
+    device-side. Returns (volume, summed miss counter).
+    """
+    from ..kernels.integrate import integrate_pallas
+
+    interpret = jax.default_backend() != "tpu"
+
+    def body(vol, inp):
+        depth, pose = inp
+        if config.use_bilateral_filter:
+            depth = bilateral_filter(
+                depth, config.sigma_colour, config.sigma_space
+            )
+        out, miss = integrate_pallas(
+            vol, depth, camera.set_pose(pose),
+            cap_weight=config.cap_weight, nk=config.integrate_nk,
+            mode=config.integrate_mode, interpret=interpret,
+        )
+        return out, miss
+
+    vol, misses = jax.lax.scan(body, vol, (depths, poses))
+    return vol, jnp.sum(misses)
+
+
 def fuse_frames(
     vol: TSDFVolume,
     camera: Camera,
@@ -103,7 +144,10 @@ def fuse_frames(
     """Fuse (depth, pose) frames with ground-truth poses.
 
     ref: kinfu.cpp:33-56 — the reference uses TUM ground-truth poses,
-    no tracking.
+    no tracking. With ``use_bilateral_filter`` the fused depth is
+    pre-smoothed (opt-in denoising for raw sensor data; the tracked
+    pipeline instead filters only the tracker's input and always fuses
+    raw depth).
 
     Args:
       frames: iterable of (depth (H, W) mm, pose (4, 4) camera->world).
@@ -111,6 +155,48 @@ def fuse_frames(
     Returns (volume, camera-at-last-pose).
     """
     miss_log: list = []
+    if config.use_pallas and vol.deform is None and config.fuse_chunk > 1:
+        # chunked device-side scan (see _fuse_chunk_pallas); streaming
+        # semantics preserved — at most fuse_chunk frames are resident
+        buf_d: list = []
+        buf_p: list = []
+        last_pose = None
+
+        def flush():
+            nonlocal vol
+            if not buf_d:
+                return
+            # pad the tail to the full chunk with zero-depth frames (a
+            # zero depth never passes the depth_val > 0 gate, so padding
+            # is an exact no-op) — ONE compiled scan shape for any N
+            while len(buf_d) < config.fuse_chunk:
+                buf_d.append(jnp.zeros_like(jnp.asarray(buf_d[0])))
+                buf_p.append(buf_p[-1])
+            depths = jnp.stack(
+                [jnp.asarray(d, jnp.float32) for d in buf_d]
+            )
+            poses = jnp.stack(
+                [jnp.asarray(p, jnp.float32) for p in buf_p]
+            )
+            vol, miss = _fuse_chunk_pallas(
+                vol, camera, depths, poses, config=config
+            )
+            miss_log.append(miss)
+            buf_d.clear()
+            buf_p.clear()
+
+        for depth, pose in frames:
+            buf_d.append(depth)
+            buf_p.append(pose)
+            last_pose = pose
+            if len(buf_d) == config.fuse_chunk:
+                flush()
+        flush()
+        if last_pose is not None:
+            camera = camera.set_pose(last_pose)
+        _check_misses(miss_log, config)
+        return vol, camera
+
     for depth, pose in frames:
         camera = camera.set_pose(pose)
         if config.use_bilateral_filter:
@@ -182,10 +268,8 @@ def track_and_fuse_frames(
     for depth in frames:
         depth = jnp.asarray(depth, jnp.float32)
         if first:
-            if config.use_bilateral_filter:
-                depth = bilateral_filter(
-                    depth, config.sigma_colour, config.sigma_space
-                )
+            # raw depth is fused; the filter only feeds the tracker
+            # (see _tracked_step_pallas)
             stats.append((jnp.array(0.0), jnp.array(0.0)))
             first = False
             vol = _integrate(vol, depth, camera, config, miss_log)
@@ -209,14 +293,16 @@ def track_and_fuse_frames(
             continue
 
         if config.use_bilateral_filter:
-            depth = bilateral_filter(
+            depth_icp = bilateral_filter(
                 depth, config.sigma_colour, config.sigma_space
             )
+        else:
+            depth_icp = depth
         model_depth = render_to_depth_image(
             vol, camera, width=config.width, height=config.height
         )
         res = get_incremental_transformation(
-            depth, model_depth, fx, fy, cx, cy, band=None
+            depth_icp, model_depth, fx, fy, cx, cy, band=None
         )
         # res.pose maps current-cam -> previous-cam coords;
         # new camera->world = prev pose o T_prev_curr
@@ -264,10 +350,17 @@ def _tracked_step_pallas(
         config.icp_min_inliers_frac * config.width * config.height
     )
 
+    # Classic KinectFusion composition: the bilateral-smoothed depth
+    # feeds the TRACKER only; the raw depth is fused. Fusing the
+    # filtered frame bakes smoothing bias into the model the next frame
+    # tracks against, and the TSDF's weighted average is itself the
+    # noise filter.
     if config.use_bilateral_filter:
-        depth = bilateral_filter(
+        depth_icp = bilateral_filter(
             depth, config.sigma_colour, config.sigma_space
         )
+    else:
+        depth_icp = depth
 
     verts, _ = raycast_pallas(
         vol, camera, config.width, config.height, interpret=interpret
@@ -280,13 +373,13 @@ def _tracked_step_pallas(
     )
 
     res = get_incremental_transformation(
-        depth, model_depth, fx, fy, cx, cy, band=band
+        depth_icp, model_depth, fx, fy, cx, cy, band=band
     )
     if band is not None:
 
         def exact(_):
             r = get_incremental_transformation(
-                depth, model_depth, fx, fy, cx, cy, band=None
+                depth_icp, model_depth, fx, fy, cx, cy, band=None
             )
             return r.pose, r.error, r.inliers
 
