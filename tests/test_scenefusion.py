@@ -260,3 +260,31 @@ def test_fused_step_matches_sequential():
     np.testing.assert_allclose(
         np.asarray(got.weight), np.asarray(ref.weight), atol=1e-5
     )
+
+
+def test_update_deformation_cubes_matches_slot_stream():
+    """The cube-corner accumulation (TPU fast path: fold slot
+    contributions onto the 8 cube corners, 8 sorted per-corner
+    scatters) == the slot-stream update, both counts and flow sums."""
+    from tsdf_tpu.ops.marching_cubes import _extract_arrays
+    from tsdf_tpu.pipelines.scenefusion import update_deformation_cubes
+
+    vol, cam, depth = _sphere_setup()
+    flow = jnp.broadcast_to(
+        jnp.array([25.0, -5.0, 3.0], jnp.float32), (H, W, 3)
+    )
+    soup, (cid, edge_idx, cube_valid) = _extract_arrays(
+        vol.tsdf, vol.voxel_size, vol.offset,
+        max_cubes=1 << 14, max_vertices=1,
+        layout="masked", tpu_safe=True, return_cube_slots=True,
+    )
+    ref, n_ref = update_deformation(
+        vol, soup, depth, cam, flow, tpu_safe=False
+    )
+    got, n_got = update_deformation_cubes(
+        vol, soup, cid, edge_idx, cube_valid, depth, cam, flow
+    )
+    assert int(n_got) == int(n_ref)
+    np.testing.assert_allclose(
+        np.asarray(got.deform), np.asarray(ref.deform), atol=1e-4
+    )

@@ -19,10 +19,20 @@ Two backend strategies share the same math (``tpu_safe`` flag):
     plain gathers — XLA:CPU lowers these well.
   - TPU path: XLA:TPU lowers generic scatter to a serial loop and its
     element gathers run at ~0.04 G lookups/s with pathological compile
-    times at volume scale (round-1 finding), so compaction is ONE
-    ``lax.sort`` of (cube-id-if-occupied, type) pairs (86 ms for the
-    16.6M cubes of a 255³ grid on v5e), the 256-entry table lookups are
-    ``lane_gather`` kernels over a tiled table, and the dense vertex
+    times at volume scale (round-1 finding). Compaction is hierarchical
+    ("chunked"): the cube grid is blocked into 3-D chunks, a cheap VPU
+    reduce finds the chunks containing surface, a tiny sort compacts
+    their ids, ONE row-gather pulls those chunks' cube types *and* the
+    8 shifted corner-value planes (built by pure slicing — so phase 3
+    needs no element gather at all), and a cumsum-rank + sorted
+    matmul-scatter (ops/scatter.py) compacts the occupied cubes with
+    their corner values as payload. Compacted cube order is
+    chunk-major (not global-id-major); triangles are slot-contiguous
+    per cube either way. Volumes too large for the 9 chunked planes
+    (>2 GB, i.e. >512^3-class) fall back to the previous full-volume
+    ``lax.sort`` compaction + element corner gather, as does a chunk
+    overflow (reported via ``overflowed``). The 256-entry table lookups
+    are ``lane_gather`` kernels over a tiled table, and the dense vertex
     compaction is the sorted-window matmul scatter (ops/scatter.py).
 
 Outputs are fixed-size padded buffers + counts (jit-friendly); triangle
@@ -194,6 +204,127 @@ def _slot_gather(
     )
 
 
+# Chunked-compaction tuning. Chunk shape (z, y, x) in cubes: 3-D blocks
+# so chunk count tracks surface *area*; x-extent 16 keeps some lane
+# locality in the transpose while z×y cross-sections stay compact.
+_CHUNK = (4, 8, 16)
+_MAX_CHUNKS = 2048
+# The chunked path materialises 9 padded cube-grid planes (type + 8
+# corner values); gate it off beyond ~24M cubes (~0.9 GB of planes) —
+# bigger grids (512^3-class) use the full-volume sort compaction.
+_CHUNK_GATE_CUBES = 24 * 1024 * 1024
+
+
+def _chunked_compact(
+    d: jnp.ndarray,
+    cube_type3: jnp.ndarray,
+    occupied3: jnp.ndarray,
+    max_cubes: int,
+    max_chunks: int = _MAX_CHUNKS,
+):
+    """Hierarchical occupied-cube compaction (TPU path).
+
+    Returns (cid, types, ws, cube_valid, chunk_overflow):
+      cid: (max_cubes,) i32 global cube ids, chunk-major order;
+      types: (max_cubes,) i32 cube types (0 on dead slots);
+      ws: (max_cubes, 8) f32 corner TSDF values — gathered chunk-wise,
+        NO per-element gather;
+      cube_valid: (max_cubes,) bool;
+      chunk_overflow: () bool — more active chunks than ``max_chunks``
+        (some occupied cubes were not captured).
+    """
+    cz, cy, cx = cube_type3.shape
+    bz, by, bx = _CHUNK
+    pz, py, px = (-(-n // b) * b for n, b in zip((cz, cy, cx), _CHUNK))
+    B = bz * by * bx
+    nbz, nby, nbx = pz // bz, py // by, px // bx
+    n_chunks = nbz * nby * nbx
+
+    def chunkify(a):
+        a = jnp.pad(a, ((0, pz - cz), (0, py - cy), (0, px - cx)))
+        a = a.reshape(nbz, bz, nby, by, nbx, bx)
+        return a.transpose(0, 2, 4, 1, 3, 5).reshape(n_chunks, B)
+
+    # the 8 shifted corner-value planes: pure slices of d
+    ws_planes = []
+    for k in range(8):
+        dx, dy, dz = (int(v) for v in CORNER_OFFSETS[k])
+        ws_planes.append(d[dz : dz + cz, dy : dy + cy, dx : dx + cx])
+
+    tg = chunkify(cube_type3)
+    og = chunkify(occupied3)
+    wg = [chunkify(w) for w in ws_planes]
+
+    active = og.any(axis=1)
+    n_active = jnp.sum(active.astype(jnp.int32))
+    chunk_overflow = n_active > max_chunks
+
+    key = jnp.where(
+        active, jnp.arange(n_chunks, dtype=jnp.int32), _INT_MAX
+    )
+    ids = jax.lax.sort(key)[:max_chunks]
+    ids_valid = ids < _INT_MAX
+    ids = jnp.where(ids_valid, ids, 0)
+
+    t_r = jnp.take(tg, ids, axis=0)  # (max_chunks, B) row gather
+    o_r = jnp.take(og, ids, axis=0)
+    w_r = [jnp.take(w, ids, axis=0) for w in wg]
+
+    occ = o_r & ids_valid[:, None]
+    occ_f = occ.ravel()
+    rank = jnp.cumsum(occ_f.astype(jnp.int32)) - 1
+    dest = jnp.where(occ_f, rank, -1)
+    dest = jnp.maximum(jax.lax.cummax(dest), 0)
+    dest = jnp.where(dest >= max_cubes, max_cubes, dest)
+
+    # global cube id per gathered slot — arithmetic only
+    chz = ids // (nby * nbx)
+    rem = ids - chz * (nby * nbx)
+    chy = rem // nbx
+    chx = rem - chy * nbx
+    s = jnp.arange(B, dtype=jnp.int32)
+    sz = s // (by * bx)
+    sr = s - sz * (by * bx)
+    sy = sr // bx
+    sx = sr - sy * bx
+    gz = chz[:, None] * bz + sz[None, :]
+    gy = chy[:, None] * by + sy[None, :]
+    gx = chx[:, None] * bx + sx[None, :]
+    gid = (gz * cy + gy) * cx + gx
+
+    payload = [
+        (gid.ravel() & 0xFFF).astype(jnp.float32),
+        (gid.ravel() >> 12).astype(jnp.float32),
+        t_r.ravel().astype(jnp.float32),
+    ] + [w.ravel() for w in w_r]
+    payload = jnp.stack([jnp.where(occ_f, p, 0.0) for p in payload])
+    # dense ascending ranks: a 2048-contribution window spans <= 17
+    # output rows, so a 32-row patch suffices — 8x fewer matmul FLOPs
+    # than the default 256-row patch
+    out = scatter_add_flat(
+        max_cubes, dest, payload, is_sorted=True, rows_per_patch=32
+    )
+
+    cid = jnp.round(out[0]).astype(jnp.int32) + (
+        jnp.round(out[1]).astype(jnp.int32) << 12
+    )
+    types = jnp.round(out[2]).astype(jnp.int32)
+    captured = jnp.sum(occ_f.astype(jnp.int32))
+    cube_valid = jnp.arange(max_cubes) < jnp.minimum(captured, max_cubes)
+
+    # Restore global-id emission order (the scatter leaves chunk-major
+    # order): one small sort over the max_cubes compacted slots keeps
+    # the framework-wide invariant "soup emission order == cube id
+    # order" that the sort-compaction and CPU paths provide.
+    key = jnp.where(cube_valid, cid, _INT_MAX)
+    skey, stypes, *sws = jax.lax.sort(
+        [key, types] + [out[3 + k] for k in range(8)], num_keys=1
+    )
+    cid = jnp.where(cube_valid, skey, 0)
+    ws = jnp.stack(sws, axis=-1)  # (max_cubes, 8)
+    return cid, stypes, ws, cube_valid, chunk_overflow
+
+
 def _extract_arrays(
     d: jnp.ndarray,
     voxel_size: jnp.ndarray,
@@ -204,6 +335,7 @@ def _extract_arrays(
     voxel_index_base=None,
     layout: str = "dense",
     tpu_safe: bool = False,
+    return_cube_slots: bool = False,
 ) -> TriangleSoup:
     """Core extraction over raw arrays.
 
@@ -214,6 +346,12 @@ def _extract_arrays(
       voxel_index_base: added to emitted flat voxel indices (sharded
         path: convert brick-local to global indices).
       layout / tpu_safe: see extract_surface.
+      return_cube_slots: masked layout only — additionally return
+        ``(cid, edge_idx, cube_valid)``: the compacted cube ids, each
+        slot's MC edge index in [0, 12), and the live-cube mask. The
+        fused SceneFusion step uses these to fold slot contributions
+        onto cube corners before scattering (cube-corner streams are
+        sorted by construction).
     """
     assert layout in ("dense", "masked"), layout
     Z, Y, X = d.shape
@@ -224,21 +362,34 @@ def _extract_arrays(
     # corner k of cube (z, y, x) is voxel (z + dz, y + dy, x + dx)
     cz, cy, cx = Z - 1, Y - 1, X - 1
     n_cubes = cz * cy * cx
-    cube_type = jnp.zeros((cz, cy, cx), jnp.int32)
+    cube_type3 = jnp.zeros((cz, cy, cx), jnp.int32)
     for k in range(8):
         dx, dy, dz = (int(v) for v in CORNER_OFFSETS[k])
         bit = inside[dz : dz + cz, dy : dy + cy, dx : dx + cx]
-        cube_type = cube_type | (bit.astype(jnp.int32) << k)
-    cube_type = cube_type.ravel()
+        cube_type3 = cube_type3 | (bit.astype(jnp.int32) << k)
+    cube_type = cube_type3.ravel()
 
-    occupied = (cube_type != 0) & (cube_type != 255)
+    occupied3 = (cube_type3 != 0) & (cube_type3 != 255)
     if n_cube_z is not None:
-        zrow = jnp.arange(n_cubes, dtype=jnp.int32) // (cy * cx)
-        occupied = occupied & (zrow < n_cube_z)
+        zrow3 = jax.lax.broadcasted_iota(jnp.int32, (cz, cy, cx), 0)
+        occupied3 = occupied3 & (zrow3 < n_cube_z)
+    occupied = occupied3.ravel()
     n_occ = jnp.sum(occupied.astype(jnp.int32))
 
     # --- phase 2: compact occupied cubes on-device -------------------------
-    if tpu_safe:
+    ws_pre = None
+    chunk_overflow = jnp.bool_(False)
+    if tpu_safe and n_cubes <= _CHUNK_GATE_CUBES:
+        cid, types, ws_pre, cube_valid, chunk_overflow = _chunked_compact(
+            d, cube_type3, occupied3, max_cubes
+        )
+        vert_counts_c = _table_lookup(
+            jnp.asarray(VERT_COUNTS, jnp.int32), types, True
+        )
+        occ_counts_c = jnp.where(cube_valid, vert_counts_c, 0)
+        cube_offsets = jnp.cumsum(occ_counts_c) - occ_counts_c
+        n_verts = jnp.sum(occ_counts_c)
+    elif tpu_safe:
         # ONE sort of (cube-id-if-occupied, type): occupied ids ascend,
         # empties sink to the end as INT_MAX. Rank order == id order, so
         # the sorted prefix IS the compacted cube list.
@@ -302,11 +453,15 @@ def _extract_arrays(
         vy = cub_y + dy
         vz = cub_z + dz
         lin = (vz * Y + vy) * X + vx
-        # one element gather per corner: 8 x max_cubes lookups. At the
-        # 255^3 working size this is 2M lookups = ~48 ms on v5e —
-        # acceptable for the surface pass; NOT the dense-volume gather
-        # class that is banned from hot paths.
-        w = jnp.take(flat_d, lin, axis=0, mode="clip")
+        if ws_pre is not None:
+            # chunked path: corner values came along in the compaction
+            # payload — no element gather at all
+            w = ws_pre[:, k]
+        else:
+            # one element gather per corner: 8 x max_cubes lookups. At
+            # the 255^3 working size this is 2M lookups = ~48 ms on v5e
+            # (sort-compaction fallback path only).
+            w = jnp.take(flat_d, lin, axis=0, mode="clip")
         centre = (
             jnp.stack(
                 [
@@ -384,14 +539,17 @@ def _extract_arrays(
 
     if layout == "masked":
         n_slots = max_cubes * _MAX_V
-        overflowed = n_occ > max_cubes
-        return TriangleSoup(
+        overflowed = (n_occ > max_cubes) | chunk_overflow
+        soup = TriangleSoup(
             vertices=vert.reshape(n_slots, 3),
             vertex_voxels=vvox.reshape(n_slots, 2),
             n_vertices=jnp.minimum(n_verts, n_slots),
             overflowed=overflowed,
             valid=slot_valid.reshape(n_slots),
         )
+        if return_cube_slots:
+            return soup, (cid, edge_idx, cube_valid)
+        return soup
 
     dest = cube_offsets[:, None] + jnp.arange(_MAX_V, dtype=jnp.int32)[None, :]
     if tpu_safe:
@@ -416,7 +574,11 @@ def _extract_arrays(
             ],
             axis=0,
         )  # (7, n_slots)
-        out = scatter_add_flat(max_vertices, lin, payload, is_sorted=True)
+        # dense ascending write offsets: same 32-row-patch shortcut as
+        # the chunked compaction (a 2048-window spans <= 17 rows)
+        out = scatter_add_flat(
+            max_vertices, lin, payload, is_sorted=True, rows_per_patch=32
+        )
         vertices = out[:3].T
         vertex_voxels = (
             jnp.round(out[3:5]).astype(jnp.int32)
@@ -435,7 +597,9 @@ def _extract_arrays(
             .set(vvox.reshape(-1, 2), mode="drop")
         )
 
-    overflowed = (n_occ > max_cubes) | (n_verts > max_vertices)
+    overflowed = (
+        (n_occ > max_cubes) | (n_verts > max_vertices) | chunk_overflow
+    )
     n_out = jnp.minimum(n_verts, max_vertices)
     return TriangleSoup(
         vertices=vertices,

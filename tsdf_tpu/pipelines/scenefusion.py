@@ -32,6 +32,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..camera import Camera
 from ..ops.integrate import integrate
@@ -72,6 +73,44 @@ class SceneFusionConfig:
         )
 
 
+def _slot_correspondence(
+    verts: jnp.ndarray,
+    slot_valid: jnp.ndarray,
+    depth: jnp.ndarray,
+    camera: Camera,
+    flow: jnp.ndarray,
+    threshold_mm: float,
+):
+    """Project mesh vertices into the frame; accept when the reprojected
+    depth agrees within the threshold (ref: SceneFusion_krnl.cu:74-114).
+    Returns (corr mask, per-vertex flow zeroed on non-corresponding)."""
+    h, w = depth.shape
+    pix = camera.world_to_pixel(verts)  # (N, 2) rounded
+    px = pix[..., 0].astype(jnp.int32)
+    py = pix[..., 1].astype(jnp.int32)
+    in_img = (px >= 0) & (px < w) & (py >= 0) & (py < h) & slot_valid
+    lin = jnp.clip(py, 0, h - 1) * w + jnp.clip(px, 0, w - 1)
+
+    # one fused image gather: [depth, flow] as 4 channels per pixel
+    img = jnp.concatenate(
+        [
+            depth.reshape(-1, 1),
+            jnp.asarray(flow, jnp.float32).reshape(-1, 3),
+        ],
+        axis=-1,
+    )
+    g = jnp.take(img, lin, axis=0, mode="clip")  # (N, 4)
+    d = g[:, 0]
+    # reproject the pixel at the observed depth and compare world z
+    # (ref: SceneFusion_krnl.cu:100-105 — depth-only distance)
+    pix_f = jnp.stack([px, py], axis=-1).astype(jnp.float32)
+    reproj = camera.pixel_to_world(pix_f, d)
+    corr = in_img & (d > 0) & (
+        jnp.abs(reproj[..., 2] - verts[..., 2]) < threshold_mm
+    )
+    return corr, jnp.where(corr[:, None], g[:, 1:], 0.0)
+
+
 def update_deformation(
     vol: TSDFVolume,
     soup: TriangleSoup,
@@ -99,31 +138,11 @@ def update_deformation(
     if tpu_safe is None:
         tpu_safe = jax.default_backend() == "tpu"
     depth = jnp.asarray(depth, jnp.float32)
-    h, w = depth.shape
     slot_valid = soup.valid
-
     verts = soup.vertices
-    pix = camera.world_to_pixel(verts)  # (N, 2) rounded
-    px = pix[..., 0].astype(jnp.int32)
-    py = pix[..., 1].astype(jnp.int32)
-    in_img = (px >= 0) & (px < w) & (py >= 0) & (py < h) & slot_valid
-    lin = jnp.clip(py, 0, h - 1) * w + jnp.clip(px, 0, w - 1)
-
-    # one fused image gather: [depth, flow] as 4 channels per pixel
-    img = jnp.concatenate(
-        [depth.reshape(-1, 1), jnp.asarray(flow, jnp.float32).reshape(-1, 3)],
-        axis=-1,
+    corr, flow_at_vert = _slot_correspondence(
+        verts, slot_valid, depth, camera, flow, threshold_mm
     )
-    g = jnp.take(img, lin, axis=0, mode="clip")  # (N, 4)
-    d = g[:, 0]
-    # reproject the pixel at the observed depth and compare world z
-    # (ref: SceneFusion_krnl.cu:100-105 — depth-only distance)
-    pix_f = jnp.stack([px, py], axis=-1).astype(jnp.float32)
-    reproj = camera.pixel_to_world(pix_f, d)
-    corr = in_img & (d > 0) & (
-        jnp.abs(reproj[..., 2] - verts[..., 2]) < threshold_mm
-    )
-    flow_at_vert = jnp.where(corr[:, None], g[:, 1:], 0.0)
 
     # per-voxel accumulation: mesh-usage counts over ALL mesh vertices
     # (ref: atomicIncUint8 during generate_vertices MC.cu:297-298) and
@@ -159,6 +178,90 @@ def update_deformation(
     return vol.replace(deform=new_deform), jnp.sum(corr.astype(jnp.int32))
 
 
+def update_deformation_cubes(
+    vol: TSDFVolume,
+    soup: TriangleSoup,
+    cid: jnp.ndarray,
+    edge_idx: jnp.ndarray,
+    cube_valid: jnp.ndarray,
+    depth: jnp.ndarray,
+    camera: Camera,
+    flow: jnp.ndarray,
+    threshold_mm: float = CORRESPONDENCE_THRESHOLD_MM,
+) -> tuple[TSDFVolume, jnp.ndarray]:
+    """TPU fast path of ``update_deformation`` over cube slots.
+
+    Same math, different factoring: every bracketing voxel of a mesh
+    vertex is a corner of its cube, so the (count, flow) contributions
+    fold per cube onto its 8 corners with a static edge→corner table
+    (pure VPU compares + reductions over the 15 slots), and the
+    per-corner streams are scattered with 8 ``scatter_add_flat`` calls
+    whose targets ascend by construction (cid is id-sorted) — no
+    internal sort and ~30× fewer matmul windows than scattering the
+    raw 2·15·max_cubes slot stream.
+    """
+    from ..ops.marching_cubes import CORNER_OFFSETS, EDGE_CORNERS, _MAX_V
+
+    depth = jnp.asarray(depth, jnp.float32)
+    C = cid.shape[0]
+    corr, flow_at_vert = _slot_correspondence(
+        soup.vertices, soup.valid, depth, camera, flow, threshold_mm
+    )
+    n_corr = jnp.sum(corr.astype(jnp.int32))
+
+    # (C, 15, 4) contributions: count channel over all valid slots,
+    # flow channels over corresponding slots (already corr-masked)
+    contrib = jnp.concatenate(
+        [
+            soup.valid.astype(jnp.float32)[:, None],
+            flow_at_vert,
+        ],
+        axis=-1,
+    ).reshape(C, _MAX_V, 4)
+
+    # Each corner k is incident to exactly 3 of the 12 edges: w_k per
+    # slot = sum of the 3 edge-equality masks — pure VPU compares, no
+    # table gather. Dead slots carry edge 0 but a zero contribution.
+    ec = np.asarray(EDGE_CORNERS)  # (12, 2) static
+    e = edge_idx  # (C, 15) in [0, 12)
+    edge_mask = [
+        (e == i).astype(jnp.float32) for i in range(12)
+    ]  # 12 x (C, 15)
+    corner_edges = [
+        [i for i in range(12) if k in (int(ec[i, 0]), int(ec[i, 1]))]
+        for k in range(8)
+    ]
+    assert all(len(v) == 3 for v in corner_edges)
+
+    Z, Y, X = vol.tsdf.shape
+    cy, cx = Y - 1, X - 1
+    cz_ = cid // (cy * cx)
+    rem = cid - cz_ * (cy * cx)
+    cy_ = rem // cx
+    cx_ = rem - cy_ * cx
+    n_vox = vol.tsdf.size
+
+    acc = jnp.zeros((4, n_vox), jnp.float32)
+    for k in range(8):
+        a, b, c = corner_edges[k]
+        w_k = edge_mask[a] + edge_mask[b] + edge_mask[c]  # (C, 15)
+        corner_acc = jnp.einsum("cs,csd->cd", w_k, contrib)  # (C, 4)
+        dx, dy, dz = (int(v) for v in CORNER_OFFSETS[k])
+        lin_k = ((cz_ + dz) * Y + (cy_ + dy)) * X + (cx_ + dx)
+        # invalid cubes sit at the tail (cube_valid is a prefix); point
+        # them past the end so the sorted scatter stops there
+        lin_k = jnp.where(cube_valid, lin_k, n_vox)
+        acc = acc + scatter_add_flat(
+            n_vox, lin_k, corner_acc.T, is_sorted=True
+        )
+
+    counts = acc[0]
+    flow_sum = acc[1:4].T
+    delta = flow_sum / jnp.maximum(counts, 1.0)[:, None]
+    new_deform = vol.deform + delta.reshape(vol.deform.shape)
+    return vol.replace(deform=new_deform), n_corr
+
+
 @partial(
     jax.jit,
     static_argnames=("max_cubes", "nk", "threshold_mm", "tpu_safe"),
@@ -188,18 +291,34 @@ def _sf_step_pallas(
     """
     from ..kernels.integrate import integrate_warped_pallas
 
-    soup = _extract_arrays(
-        vol.tsdf,
-        vol.voxel_size,
-        vol.offset,
-        max_cubes=max_cubes,
-        max_vertices=1,  # unused by the masked layout
-        layout="masked",
-        tpu_safe=tpu_safe,
-    )
-    vol, n_corr = update_deformation(
-        vol, soup, depth, camera, flow, threshold_mm, tpu_safe=tpu_safe
-    )
+    if tpu_safe:
+        soup, (cid, edge_idx, cube_valid) = _extract_arrays(
+            vol.tsdf,
+            vol.voxel_size,
+            vol.offset,
+            max_cubes=max_cubes,
+            max_vertices=1,  # unused by the masked layout
+            layout="masked",
+            tpu_safe=True,
+            return_cube_slots=True,
+        )
+        vol, n_corr = update_deformation_cubes(
+            vol, soup, cid, edge_idx, cube_valid, depth, camera, flow,
+            threshold_mm,
+        )
+    else:
+        soup = _extract_arrays(
+            vol.tsdf,
+            vol.voxel_size,
+            vol.offset,
+            max_cubes=max_cubes,
+            max_vertices=1,  # unused by the masked layout
+            layout="masked",
+            tpu_safe=False,
+        )
+        vol, n_corr = update_deformation(
+            vol, soup, depth, camera, flow, threshold_mm, tpu_safe=False
+        )
     out, miss = integrate_warped_pallas(
         vol, depth, camera, nk=nk, interpret=not tpu_safe
     )
