@@ -6,6 +6,7 @@ stronger than the reference, whose canonical table can leak in ambiguous
 configs — the extracted mesh is watertight.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -175,3 +176,60 @@ def test_tpu_safe_large_voxel_indices():
     np.testing.assert_array_equal(gx, rx)
     np.testing.assert_allclose(gv, rv, atol=1e-3)
     assert rx.min() >= base
+
+
+def test_tpu_safe_n_cube_z_matches_xla_path():
+    """The sharded path's n_cube_z row mask (a brick's halo cube row
+    must not emit duplicates) agrees between the chunked TPU-safe
+    compaction and the plain XLA path — including when the cut falls
+    inside a chunk (chunk z-extent is 4; cut at 9)."""
+    from tsdf_tpu.ops.marching_cubes import _extract_arrays
+
+    n = 24
+    vol = make_volume((n, n, n), 1000.0, offset=(-500.0, -500.0, -500.0))
+    vol = fixtures.sphere_tsdf(vol, 300.0, centre=(0.0, 0.0, 0.0))
+    kw = dict(max_cubes=1 << 12, max_vertices=1 << 14, n_cube_z=9)
+    ref = _extract_arrays(
+        vol.tsdf, vol.voxel_size, vol.offset, tpu_safe=False, **kw
+    )
+    got = _extract_arrays(
+        vol.tsdf, vol.voxel_size, vol.offset, tpu_safe=True, **kw
+    )
+    assert int(got.n_vertices) == int(ref.n_vertices) > 0
+    rv, rx = _vertex_set(ref)
+    gv, gx = _vertex_set(got)
+    np.testing.assert_array_equal(gx, rx)
+    np.testing.assert_allclose(gv, rv, atol=1e-3)
+
+
+def test_tpu_safe_chunk_boundary_wall():
+    """A wall whose sign change sits exactly on a chunk face plane
+    (z = 4k, the chunk z-extent) is captured by the chunked occupancy
+    pooling; equality vs the XLA path."""
+    from tsdf_tpu.ops.marching_cubes import _CHUNK, _extract_arrays
+
+    n = 17
+    vol = make_volume((n, n, n), 1000.0, offset=(0.0, 0.0, 0.0))
+    vs = float(np.asarray(vol.voxel_size)[2])
+    # zero crossing between voxel z=3 and z=4 (first chunk's far face)
+    zc = (_CHUNK[0] - 0.5) * vs
+    zcent = (np.arange(n, dtype=np.float32) + 0.5) * vs
+    plane = np.clip(
+        zcent - zc,
+        -float(vol.truncation_distance),
+        float(vol.truncation_distance),
+    )
+    d = np.broadcast_to(plane[:, None, None], (n, n, n)).copy()
+    vol = vol.replace(tsdf=jnp.asarray(d))
+    kw = dict(max_cubes=1 << 12, max_vertices=1 << 14)
+    ref = _extract_arrays(
+        vol.tsdf, vol.voxel_size, vol.offset, tpu_safe=False, **kw
+    )
+    got = _extract_arrays(
+        vol.tsdf, vol.voxel_size, vol.offset, tpu_safe=True, **kw
+    )
+    assert int(got.n_vertices) == int(ref.n_vertices) > 0
+    rv, rx = _vertex_set(ref)
+    gv, gx = _vertex_set(got)
+    np.testing.assert_array_equal(gx, rx)
+    np.testing.assert_allclose(gv, rv, atol=1e-3)

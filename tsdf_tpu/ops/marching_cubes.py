@@ -20,20 +20,21 @@ Two backend strategies share the same math (``tpu_safe`` flag):
   - TPU path: XLA:TPU lowers generic scatter to a serial loop and its
     element gathers run at ~0.04 G lookups/s with pathological compile
     times at volume scale (round-1 finding). Compaction is hierarchical
-    ("chunked"): the cube grid is blocked into 3-D chunks, a cheap VPU
-    reduce finds the chunks containing surface, a tiny sort compacts
-    their ids, ONE row-gather pulls those chunks' cube types *and* the
-    8 shifted corner-value planes (built by pure slicing — so phase 3
-    needs no element gather at all), and a cumsum-rank + sorted
-    matmul-scatter (ops/scatter.py) compacts the occupied cubes with
-    their corner values as payload. Compacted cube order is
-    chunk-major (not global-id-major); triangles are slot-contiguous
-    per cube either way. Volumes too large for the 9 chunked planes
-    (>2 GB, i.e. >512^3-class) fall back to the previous full-volume
-    ``lax.sort`` compaction + element corner gather, as does a chunk
-    overflow (reported via ``overflowed``). The 256-entry table lookups
-    are ``lane_gather`` kernels over a tiled table, and the dense vertex
-    compaction is the sorted-window matmul scatter (ops/scatter.py).
+    ("chunked"): an exact separable min/max pooling over (bz+1, by+1,
+    bx+1) voxel windows finds the chunks whose region contains both
+    signs (transpose-free block reduces — no full-volume classify at
+    all), a tiny sort compacts their ids, the padded volume is
+    chunkified ONCE and each active chunk row-gathers itself + its 7
+    upper neighbors into a haloed block, cube types / corner values /
+    occupancy are computed from those blocks in compacted space, and a
+    cumsum-rank + sorted matmul-scatter (ops/scatter.py) compacts the
+    occupied cubes with their corner values as payload — so phase 3
+    needs no element gather at all. Grids beyond 512^3-class fall back
+    to a full-volume ``lax.sort`` compaction + element corner gather,
+    as does a chunk overflow (reported via ``overflowed``). The
+    256-entry table lookups are ``lane_gather`` kernels over a tiled
+    table, and the dense vertex compaction is the sorted-window matmul
+    scatter (ops/scatter.py).
 
 Outputs are fixed-size padded buffers + counts (jit-friendly); triangle
 soup semantics match the reference (every 3 consecutive valid vertices =
@@ -209,68 +210,165 @@ def _slot_gather(
 # locality in the transpose while z×y cross-sections stay compact.
 _CHUNK = (4, 8, 16)
 _MAX_CHUNKS = 2048
-# The chunked path materialises 9 padded cube-grid planes (type + 8
-# corner values); gate it off beyond ~24M cubes (~0.9 GB of planes) —
-# bigger grids (512^3-class) use the full-volume sort compaction.
-_CHUNK_GATE_CUBES = 24 * 1024 * 1024
+# The chunked path materialises one chunkified copy of the (padded)
+# volume (~1.25x volume bytes transient); gate it off beyond 512^3-class
+# grids, which fall back to the full-volume sort compaction.
+_CHUNK_GATE_CUBES = 140 * 1024 * 1024
 
 
 def _chunked_compact(
     d: jnp.ndarray,
-    cube_type3: jnp.ndarray,
-    occupied3: jnp.ndarray,
+    n_cube_z,
     max_cubes: int,
-    max_chunks: int = _MAX_CHUNKS,
+    max_chunks: int | None = None,
 ):
     """Hierarchical occupied-cube compaction (TPU path).
 
-    Returns (cid, types, ws, cube_valid, chunk_overflow):
-      cid: (max_cubes,) i32 global cube ids, chunk-major order;
+    Everything per-cube happens in COMPACTED chunk space: chunk
+    occupancy comes from an exact separable (bz+1, by+1, bx+1)-window
+    min/max pooling of the raw TSDF (transpose-free block reduces + one
+    strided-slice min per axis — a chunk is active iff its cube-corner
+    voxel region contains both signs, a tight superset of "contains an
+    occupied cube"), the padded volume is chunkified ONCE, each active
+    chunk row-gathers itself + its 7 upper neighbors to assemble a
+    haloed (bz+1, by+1, bx+1) block, and cube types / corner values /
+    occupancy are computed from those blocks over max_chunks*B slots
+    instead of the full cube grid (~16x less classify work at 255³).
+
+    Returns (cid, types, ws, cube_valid, chunk_overflow, n_occ):
+      cid: (max_cubes,) i32 global cube ids, ascending;
       types: (max_cubes,) i32 cube types (0 on dead slots);
-      ws: (max_cubes, 8) f32 corner TSDF values — gathered chunk-wise,
-        NO per-element gather;
+      ws: (max_cubes, 8) f32 corner TSDF values — NO per-element gather;
       cube_valid: (max_cubes,) bool;
       chunk_overflow: () bool — more active chunks than ``max_chunks``
-        (some occupied cubes were not captured).
+        (some occupied cubes were not captured);
+      n_occ: () i32 — total occupied cubes (exact unless overflowed).
     """
-    cz, cy, cx = cube_type3.shape
+    Z, Y, X = d.shape
+    cz, cy, cx = Z - 1, Y - 1, X - 1
     bz, by, bx = _CHUNK
-    pz, py, px = (-(-n // b) * b for n, b in zip((cz, cy, cx), _CHUNK))
+    nbz, nby, nbx = (-(-n // b) for n, b in zip((cz, cy, cx), _CHUNK))
     B = bz * by * bx
-    nbz, nby, nbx = pz // bz, py // by, px // bx
     n_chunks = nbz * nby * nbx
+    if max_chunks is None:
+        # compacted-space work is linear in the cap, so keep it tight:
+        # surfaces occupy a few % of chunks (a 255³ sphere: 1754 of
+        # 32768); 1/16 of the chunk grid leaves ~3x headroom and a
+        # chunk overflow is reported via ``overflowed``
+        max_chunks = min(n_chunks, max(_MAX_CHUNKS, n_chunks // 16))
 
-    def chunkify(a):
-        a = jnp.pad(a, ((0, pz - cz), (0, py - cy), (0, px - cx)))
-        a = a.reshape(nbz, bz, nby, by, nbx, bx)
-        return a.transpose(0, 2, 4, 1, 3, 5).reshape(n_chunks, B)
+    # Pad the voxel grid by one extra chunk layer with edge replication:
+    # replicated voxels introduce no new sign changes, and every chunk's
+    # {0,1}^3 neighborhood exists for the halo assembly. Padded cubes
+    # (base beyond cz/cy/cx) are masked out of occupancy below.
+    pz, py, px = (nbz + 1) * bz, (nby + 1) * by, (nbx + 1) * bx
+    dp = jnp.pad(
+        d, ((0, pz - Z), (0, py - Y), (0, px - X)), mode="edge"
+    )
 
-    # the 8 shifted corner-value planes: pure slices of d
-    ws_planes = []
-    for k in range(8):
-        dx, dy, dz = (int(v) for v in CORNER_OFFSETS[k])
-        ws_planes.append(d[dz : dz + cz, dy : dy + cy, dx : dx + cx])
+    # --- chunk occupancy: exact (b+1)-window min/max, separable --------
+    def pool_axis(a, b, nb, axis, op):
+        # window b+1, stride b along `axis`: op(block-reduce, the plane
+        # at (i+1)*b) — exact because min/max are separable
+        sl = [slice(None)] * 3
+        sl[axis] = slice(0, nb * b)
+        blk = a[tuple(sl)]
+        shape = list(blk.shape)
+        shape[axis : axis + 1] = [nb, b]
+        blk = op(blk.reshape(shape), axis=axis + 1)
+        sl[axis] = slice(b, nb * b + 1, b)
+        return op(jnp.stack([blk, a[tuple(sl)]], 0), axis=0)
 
-    tg = chunkify(cube_type3)
-    og = chunkify(occupied3)
-    wg = [chunkify(w) for w in ws_planes]
+    cmin, cmax = dp, dp
+    for axis, (b, nb) in enumerate(((bz, nbz), (by, nby), (bx, nbx))):
+        cmin = pool_axis(cmin, b, nb, axis, jnp.min)
+        cmax = pool_axis(cmax, b, nb, axis, jnp.max)
+    active = (cmin < 0.0) & (cmax >= 0.0)  # (nbz, nby, nbx)
+    if n_cube_z is not None:
+        czrow = jax.lax.broadcasted_iota(jnp.int32, active.shape, 0)
+        active = active & (czrow * bz < n_cube_z)
 
-    active = og.any(axis=1)
     n_active = jnp.sum(active.astype(jnp.int32))
     chunk_overflow = n_active > max_chunks
 
     key = jnp.where(
-        active, jnp.arange(n_chunks, dtype=jnp.int32), _INT_MAX
+        active.ravel(), jnp.arange(n_chunks, dtype=jnp.int32), _INT_MAX
     )
     ids = jax.lax.sort(key)[:max_chunks]
     ids_valid = ids < _INT_MAX
     ids = jnp.where(ids_valid, ids, 0)
 
-    t_r = jnp.take(tg, ids, axis=0)  # (max_chunks, B) row gather
-    o_r = jnp.take(og, ids, axis=0)
-    w_r = [jnp.take(w, ids, axis=0) for w in wg]
+    # --- chunkify the padded volume ONCE; gather haloed blocks ---------
+    npz, npy, npx = nbz + 1, nby + 1, nbx + 1
+    r = (
+        dp.reshape(npz, bz, npy, by, npx, bx)
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(npz * npy * npx, B)
+    )
 
-    occ = o_r & ids_valid[:, None]
+    chz = ids // (nby * nbx)
+    rem = ids - chz * (nby * nbx)
+    chy = rem // nbx
+    chx = rem - chy * nbx
+
+    blocks = []
+    for dz_ in (0, 1):
+        for dy_ in (0, 1):
+            for dx_ in (0, 1):
+                nid = ((chz + dz_) * npy + (chy + dy_)) * npx + (chx + dx_)
+                blocks.append(
+                    jnp.take(r, nid, axis=0).reshape(-1, bz, by, bx)
+                )
+    # assemble (max_chunks, 2bz, 2by, 2bx), keep the +1 halo
+    big = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [
+                    jnp.concatenate(blocks[4 * i : 4 * i + 2], axis=3),
+                    jnp.concatenate(blocks[4 * i + 2 : 4 * i + 4], axis=3),
+                ],
+                axis=2,
+            )
+            for i in (0, 1)
+        ],
+        axis=1,
+    )[:, : bz + 1, : by + 1, : bx + 1]
+
+    # --- classify in compacted space ------------------------------------
+    inside_blk = big < 0.0
+    t_blk = jnp.zeros(inside_blk.shape[:1] + (bz, by, bx), jnp.int32)
+    w_r = []
+    for k in range(8):
+        dx_, dy_, dz_ = (int(v) for v in CORNER_OFFSETS[k])
+        sub = (
+            slice(None),
+            slice(dz_, dz_ + bz),
+            slice(dy_, dy_ + by),
+            slice(dx_, dx_ + bx),
+        )
+        t_blk = t_blk | (inside_blk[sub].astype(jnp.int32) << k)
+        w_r.append(big[sub].reshape(-1, B))
+    t_r = t_blk.reshape(-1, B)
+
+    # slot coords within the chunk; mask padded cubes + n_cube_z exactly
+    s = jnp.arange(B, dtype=jnp.int32)
+    sz_ = s // (by * bx)
+    sr_ = s - sz_ * (by * bx)
+    sy_ = sr_ // bx
+    sx_ = sr_ - sy_ * bx
+    gz_s = chz[:, None] * bz + sz_[None, :]
+    gy_s = chy[:, None] * by + sy_[None, :]
+    gx_s = chx[:, None] * bx + sx_[None, :]
+    occ = (
+        (t_r != 0)
+        & (t_r != 255)
+        & ids_valid[:, None]
+        & (gz_s < cz)
+        & (gy_s < cy)
+        & (gx_s < cx)
+    )
+    if n_cube_z is not None:
+        occ = occ & (gz_s < n_cube_z)
     occ_f = occ.ravel()
     rank = jnp.cumsum(occ_f.astype(jnp.int32)) - 1
     dest = jnp.where(occ_f, rank, -1)
@@ -278,19 +376,7 @@ def _chunked_compact(
     dest = jnp.where(dest >= max_cubes, max_cubes, dest)
 
     # global cube id per gathered slot — arithmetic only
-    chz = ids // (nby * nbx)
-    rem = ids - chz * (nby * nbx)
-    chy = rem // nbx
-    chx = rem - chy * nbx
-    s = jnp.arange(B, dtype=jnp.int32)
-    sz = s // (by * bx)
-    sr = s - sz * (by * bx)
-    sy = sr // bx
-    sx = sr - sy * bx
-    gz = chz[:, None] * bz + sz[None, :]
-    gy = chy[:, None] * by + sy[None, :]
-    gx = chx[:, None] * bx + sx[None, :]
-    gid = (gz * cy + gy) * cx + gx
+    gid = (gz_s * cy + gy_s) * cx + gx_s
 
     payload = [
         (gid.ravel() & 0xFFF).astype(jnp.float32),
@@ -322,7 +408,7 @@ def _chunked_compact(
     )
     cid = jnp.where(cube_valid, skey, 0)
     ws = jnp.stack(sws, axis=-1)  # (max_cubes, 8)
-    return cid, stypes, ws, cube_valid, chunk_overflow
+    return cid, stypes, ws, cube_valid, chunk_overflow, captured
 
 
 def _extract_arrays(
@@ -356,32 +442,32 @@ def _extract_arrays(
     assert layout in ("dense", "masked"), layout
     Z, Y, X = d.shape
     d = jnp.asarray(d, jnp.float32)  # bf16 storage: interpolate in f32
-    inside = d < 0.0
 
-    # --- phase 1: classify -------------------------------------------------
     # corner k of cube (z, y, x) is voxel (z + dz, y + dy, x + dx)
     cz, cy, cx = Z - 1, Y - 1, X - 1
     n_cubes = cz * cy * cx
-    cube_type3 = jnp.zeros((cz, cy, cx), jnp.int32)
-    for k in range(8):
-        dx, dy, dz = (int(v) for v in CORNER_OFFSETS[k])
-        bit = inside[dz : dz + cz, dy : dy + cy, dx : dx + cx]
-        cube_type3 = cube_type3 | (bit.astype(jnp.int32) << k)
-    cube_type = cube_type3.ravel()
 
-    occupied3 = (cube_type3 != 0) & (cube_type3 != 255)
-    if n_cube_z is not None:
-        zrow3 = jax.lax.broadcasted_iota(jnp.int32, (cz, cy, cx), 0)
-        occupied3 = occupied3 & (zrow3 < n_cube_z)
-    occupied = occupied3.ravel()
-    n_occ = jnp.sum(occupied.astype(jnp.int32))
+    def classify_full():
+        # --- phase 1 (full-volume paths): classify every cube ----------
+        inside = d < 0.0
+        cube_type3 = jnp.zeros((cz, cy, cx), jnp.int32)
+        for k in range(8):
+            dx, dy, dz = (int(v) for v in CORNER_OFFSETS[k])
+            bit = inside[dz : dz + cz, dy : dy + cy, dx : dx + cx]
+            cube_type3 = cube_type3 | (bit.astype(jnp.int32) << k)
+        occupied3 = (cube_type3 != 0) & (cube_type3 != 255)
+        if n_cube_z is not None:
+            zrow3 = jax.lax.broadcasted_iota(jnp.int32, (cz, cy, cx), 0)
+            occupied3 = occupied3 & (zrow3 < n_cube_z)
+        return cube_type3.ravel(), occupied3.ravel()
 
     # --- phase 2: compact occupied cubes on-device -------------------------
     ws_pre = None
     chunk_overflow = jnp.bool_(False)
     if tpu_safe and n_cubes <= _CHUNK_GATE_CUBES:
-        cid, types, ws_pre, cube_valid, chunk_overflow = _chunked_compact(
-            d, cube_type3, occupied3, max_cubes
+        # classification happens inside, in compacted chunk space
+        (cid, types, ws_pre, cube_valid, chunk_overflow, n_occ) = (
+            _chunked_compact(d, n_cube_z, max_cubes)
         )
         vert_counts_c = _table_lookup(
             jnp.asarray(VERT_COUNTS, jnp.int32), types, True
@@ -390,6 +476,8 @@ def _extract_arrays(
         cube_offsets = jnp.cumsum(occ_counts_c) - occ_counts_c
         n_verts = jnp.sum(occ_counts_c)
     elif tpu_safe:
+        cube_type, occupied = classify_full()
+        n_occ = jnp.sum(occupied.astype(jnp.int32))
         # ONE sort of (cube-id-if-occupied, type): occupied ids ascend,
         # empties sink to the end as INT_MAX. Rank order == id order, so
         # the sorted prefix IS the compacted cube list.
@@ -415,6 +503,8 @@ def _extract_arrays(
         cube_offsets = jnp.cumsum(occ_counts_c) - occ_counts_c
         n_verts = jnp.sum(occ_counts_c)
     else:
+        cube_type, occupied = classify_full()
+        n_occ = jnp.sum(occupied.astype(jnp.int32))
         vert_counts = jnp.take(
             jnp.asarray(VERT_COUNTS, jnp.int32), cube_type, axis=0
         )
