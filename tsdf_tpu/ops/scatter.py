@@ -28,8 +28,12 @@ so a batch of C contributions (linear index, value) lands in a dense
      matmul, so no dedup pass is needed.
 
 Everything is static-shaped; the only data-dependence is the while-loop
-trip count (~C/K for surface-like index distributions). Cost per window:
-one (K, RP) x (K, 128) f32 matmul — MXU work, not VPU loops.
+trip count (~C/K for surface-like index distributions). D payload
+channels ride ONE matmul per window: the accumulator is laid out
+channel-interleaved as (rows, D, 128) so the (K, RP) one-hot contracts
+against a (K, D*128) value block and the whole (RP, D, 128) patch lands
+in a single dynamic_update_slice — per-window op count is independent
+of D (one dot_general, one slice pair), only the MAC count scales.
 """
 
 from __future__ import annotations
@@ -100,7 +104,8 @@ def scatter_add_flat(
     lin = jnp.concatenate([lin, jnp.full((K,), nr * _LANE, jnp.int32)])
     vals = jnp.pad(vals, ((0, 0), (0, K)))
 
-    out = jnp.zeros((D, nr, _LANE), jnp.float32)
+    # channel-interleaved accumulator: one (RP, D, 128) patch per window
+    out = jnp.zeros((nr, D, _LANE), jnp.float32)
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (K, RP), 1)
     l_iota = jax.lax.broadcasted_iota(jnp.int32, (K, _LANE), 1)
 
@@ -122,25 +127,22 @@ def scatter_add_flat(
             jnp.float32
         )  # (K, RP)
         lane_oh = (lanes[:, None] == l_iota).astype(jnp.float32)  # (K, 128)
-
-        def add_payload(d, out):
-            vw = jax.lax.dynamic_slice(vals, (d, c), (1, K))[0]
-            patch = jax.lax.dot_general(
-                m,
-                lane_oh * vw[:, None],
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (RP, 128)
-            blk = jax.lax.dynamic_slice(out, (d, r0, 0), (1, RP, _LANE))
-            return jax.lax.dynamic_update_slice(
-                out, blk + patch[None], (d, r0, 0)
-            )
-
-        out = jax.lax.fori_loop(0, D, add_payload, out)
+        vw = jax.lax.dynamic_slice(vals, (0, c), (D, K))  # (D, K)
+        v_blk = (vw.T[:, :, None] * lane_oh[:, None, :]).reshape(
+            K, D * _LANE
+        )
+        patch = jax.lax.dot_general(
+            m,
+            v_blk,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(RP, D, _LANE)
+        blk = jax.lax.dynamic_slice(out, (r0, 0, 0), (RP, D, _LANE))
+        out = jax.lax.dynamic_update_slice(out, blk + patch, (r0, 0, 0))
         return c + count, out
 
     _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), out))
-    out = out.reshape(D, nr * _LANE)[:, :n]
+    out = out.transpose(1, 0, 2).reshape(D, nr * _LANE)[:, :n]
     return out[0] if squeeze else out
 
 

@@ -194,11 +194,14 @@ def update_deformation_cubes(
     Same math, different factoring: every bracketing voxel of a mesh
     vertex is a corner of its cube, so the (count, flow) contributions
     fold per cube onto its 8 corners with a static edge→corner table
-    (pure VPU compares + reductions over the 15 slots), and the
-    per-corner streams are scattered with 8 ``scatter_add_flat`` calls
-    whose targets ascend by construction (cid is id-sorted) — no
-    internal sort and ~30× fewer matmul windows than scattering the
-    raw 2·15·max_cubes slot stream.
+    (pure VPU compares + reductions over the 15 slots), and all 8
+    corner streams ride ONE 32-channel ``scatter_add_flat`` targeted at
+    the corner-0 voxel (cid is id-sorted, so the stream is pre-sorted
+    and there is a single window walk); corner k's dense result is then
+    shifted into place by its static voxel offset (out[lin+off] += v ==
+    shift(scatter(lin, v), off)) — ~30× fewer matmul windows than
+    scattering the raw 2·15·max_cubes slot stream, and 8× fewer than
+    one scatter per corner.
     """
     from ..ops.marching_cubes import CORNER_OFFSETS, EDGE_CORNERS, _MAX_V
 
@@ -241,19 +244,28 @@ def update_deformation_cubes(
     cx_ = rem - cy_ * cx
     n_vox = vol.tsdf.size
 
-    acc = jnp.zeros((4, n_vox), jnp.float32)
+    payload = []
     for k in range(8):
         a, b, c = corner_edges[k]
         w_k = edge_mask[a] + edge_mask[b] + edge_mask[c]  # (C, 15)
-        corner_acc = jnp.einsum("cs,csd->cd", w_k, contrib)  # (C, 4)
+        payload.append(jnp.einsum("cs,csd->dc", w_k, contrib))  # (4, C)
+    lin0 = (cz_ * Y + cy_) * X + cx_  # corner 0's voxel id
+    # invalid cubes sit at the tail (cube_valid is a prefix); point
+    # them past the end so the sorted scatter stops there
+    lin0 = jnp.where(cube_valid, lin0, n_vox)
+    res = scatter_add_flat(
+        n_vox, lin0, jnp.concatenate(payload, axis=0), is_sorted=True
+    )  # (32, n_vox), channels 4k..4k+3 = corner k at its corner-0 voxel
+    acc = jnp.zeros((4, n_vox), jnp.float32)
+    for k in range(8):
         dx, dy, dz = (int(v) for v in CORNER_OFFSETS[k])
-        lin_k = ((cz_ + dz) * Y + (cy_ + dy)) * X + (cx_ + dx)
-        # invalid cubes sit at the tail (cube_valid is a prefix); point
-        # them past the end so the sorted scatter stops there
-        lin_k = jnp.where(cube_valid, lin_k, n_vox)
-        acc = acc + scatter_add_flat(
-            n_vox, lin_k, corner_acc.T, is_sorted=True
-        )
+        off = (dz * Y + dy) * X + dx
+        r = res[4 * k : 4 * k + 4]
+        if off:
+            # a valid cube's corner-k voxel id < n_vox, so the dropped
+            # tail of r is all-zero by construction
+            r = jnp.pad(r, ((0, 0), (off, 0)))[:, :n_vox]
+        acc = acc + r
 
     counts = acc[0]
     flow_sum = acc[1:4].T
