@@ -74,6 +74,26 @@ def test_scatter_add_multi_payload_sorted():
         )
 
 
+def test_scatter_add_32_channels_unsorted():
+    # the deform update's shape: 32 payload channels through ONE fused
+    # matmul + patch update per window
+    n, c = 4096, 2000
+    rng = np.random.RandomState(7)
+    lin = rng.randint(-3, n + 3, size=c).astype(np.int32)
+    vals = rng.randn(32, c).astype(np.float32)
+    out = np.asarray(
+        scatter_add_flat(
+            n, jnp.asarray(lin), jnp.asarray(vals),
+            window=128, rows_per_patch=16,
+        )
+    )
+    assert out.shape == (32, n)
+    for d in range(32):
+        np.testing.assert_allclose(
+            out[d], _ref(n, lin, vals[d]), rtol=1e-6, atol=1e-4
+        )
+
+
 def test_scatter_set_int_large_values():
     n = 1000
     rng = np.random.RandomState(3)
