@@ -100,3 +100,49 @@ def test_wall_depth_render():
     depth = np.asarray(render_to_depth_image(vol, cam, W, H))
     centre_depth = depth[H // 2, W // 2]
     assert abs(int(centre_depth) - wall_z) < 60.0  # within ~a voxel
+
+
+def test_color_render():
+    """Fused colour renders at hit pixels (the reference never reads its
+    colour array; here fuse -> raycast -> colour image closes the loop)."""
+    from tsdf_tpu.ops.integrate import integrate
+    from tsdf_tpu.ops.shading import color_image
+    from tsdf_tpu.utils.fixtures import sphere_depth_map
+
+    vol = make_volume(
+        (48, 48, 48), 1000.0, offset=(-500.0, -500.0, 0.0), with_color=True
+    )
+    cam = (
+        Camera.default_depth_camera()
+        .move_to([0.0, 0.0, -300.0])
+        .look_at([0.0, 0.0, 500.0])
+    )
+    depth = jnp.asarray(sphere_depth_map(640, 480, 150.0, 400.0, 800.0))
+    rgb = jnp.broadcast_to(jnp.array([200, 80, 30], jnp.uint8), (480, 640, 3))
+    fused = integrate(vol, depth, cam, rgb=rgb)
+
+    # render small: scale the intrinsics with the image (same FoV)
+    rcam = (
+        Camera.from_intrinsics(591.1 / 4, 590.1 / 4, 331.0 / 4, 234.6 / 4)
+        .move_to([0.0, 0.0, -300.0])
+        .look_at([0.0, 0.0, 500.0])
+    )
+    verts, _ = raycast(fused, rcam, 160, 120)
+    img = np.asarray(color_image(fused, verts))
+    hits = np.isfinite(np.asarray(verts)).all(-1)
+    assert img.shape == (120, 160, 3)
+    assert hits.sum() > 100
+    # interior hit pixels carry the fused colour (interpolation against
+    # unpainted neighbours can dim silhouette pixels); misses are black
+    centre = img[hits][np.linalg.norm(
+        img[hits].astype(np.int32) - [200, 80, 30], axis=-1) < 60]
+    assert len(centre) > 0.5 * hits.sum()
+    assert (img[~hits] == 0).all()
+
+
+def test_color_render_requires_color():
+    from tsdf_tpu.ops.shading import color_image
+
+    vol = make_volume((8, 8, 8), 100.0)
+    with pytest.raises(ValueError):
+        color_image(vol, jnp.zeros((4, 4, 3)))

@@ -73,6 +73,12 @@ def _render_outputs(vol, camera, args):
         img = normals_image(normals)
         save_png(args.normals, np.asarray(img))
         print(f"wrote {args.normals}")
+    if getattr(args, "color", None):
+        from .ops.shading import color_image
+
+        img = color_image(vol, verts)
+        save_png(args.color, np.asarray(img))
+        print(f"wrote {args.color}")
 
 
 def _write_mesh(vol, path, max_cubes, max_vertices):
@@ -343,6 +349,7 @@ def main(argv=None):
     p.add_argument("-o", "--out", help="output .tsdf")
     p.add_argument("--scene", default="scene.png")
     p.add_argument("--normals", default="normals.png")
+    p.add_argument("--color", help="colour render PNG (needs a colour volume)")
     p.add_argument("--mesh", default="mesh.ply")
     p.add_argument("--max-cubes", type=int, default=1 << 18)
     p.add_argument("--max-vertices", type=int, default=1 << 20)
@@ -353,6 +360,7 @@ def main(argv=None):
     p.add_argument("-f", "--file", required=True)
     p.add_argument("--scene", default="scene.png")
     p.add_argument("--normals", default="normals.png")
+    p.add_argument("--color", help="colour render PNG (needs a colour volume)")
     p.add_argument("--look-from", help="x,y,z mm")
     p.add_argument("--look-at", help="x,y,z mm")
     p.add_argument("--pallas", action="store_true", help="TPU slab-sweep")

@@ -42,3 +42,31 @@ def normals_image(normals) -> jnp.ndarray:
     n = n.at[..., 2].set(jnp.abs(n[..., 2]))
     img = jnp.floor(((n / 2.0) + 0.5) * 255.0)
     return jnp.clip(img, 0, 255).astype(jnp.uint8)
+
+
+def color_image(vol, vertices) -> jnp.ndarray:
+    """(H, W, 3) u8 render of fused per-voxel colour at raycast hits.
+
+    Completes the colour story the reference left unfinished: it
+    allocates/serializes ``m_colours`` but no kernel ever writes or
+    reads them (ref: src/include/TSDFVolume.hpp:23-26, SURVEY §2.1).
+    This framework fuses colour in the integrate rgb path
+    (ops/integrate.py) and renders it here by trilinear sampling of the
+    three channels at the hit vertex. Missed rays render black.
+    """
+    from .trilinear import trilinear_sample
+
+    if vol.color is None:
+        raise ValueError("volume has no colour field (use with_color())")
+    vertices = jnp.asarray(vertices, jnp.float32)
+    valid = jnp.isfinite(vertices).all(axis=-1)
+    pts = jnp.where(valid[..., None], vertices, 0.0) - vol.space_min
+    chans = [
+        trilinear_sample(
+            vol.color[..., c].astype(jnp.float32), pts, vol.voxel_size
+        )
+        for c in range(3)
+    ]
+    rgb = jnp.stack(chans, axis=-1)
+    rgb = jnp.where(valid[..., None], rgb, 0.0)
+    return jnp.clip(jnp.round(rgb), 0.0, 255.0).astype(jnp.uint8)
