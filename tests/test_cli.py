@@ -239,3 +239,37 @@ def test_sfusion_cli(tmp_path):
     ])
     assert rc in (0, None)
     assert (tmp_path / "warped.ply").exists()
+
+
+def test_fuse_color_render(tum_dir, tmp_path):
+    """--fuse-color fuses rgb/<stamp>.png into per-voxel colour and
+    --color renders it back out."""
+    rgb_dir = tum_dir / "rgb"
+    rgb_dir.mkdir(exist_ok=True)
+    for i in range(3):
+        img = np.zeros((H, W, 3), np.uint8)
+        img[:] = [40, 160, 220]
+        save_png(rgb_dir / f"{i}.0.png", img)
+    out = tmp_path / "c.tsdf"
+    rc = main(
+        ["fuse", "-d", str(tum_dir), "-m", "3", "-s", "48",
+         "--physical", "2000", "--fuse-color",
+         "-o", str(out),
+         "--scene", str(tmp_path / "s.png"),
+         "--normals", str(tmp_path / "n.png"),
+         "--color", str(tmp_path / "c.png"),
+         "--mesh", str(tmp_path / "m.ply"),
+         *CAM_ARGS]
+    )
+    assert rc in (0, None)
+    img = load_png(tmp_path / "c.png")
+    painted = (np.asarray(img) != 0).any(-1)
+    assert painted.sum() > 100
+    px = np.asarray(img)[painted]
+    # majority of painted pixels carry the fused colour
+    close = np.linalg.norm(
+        px.astype(np.int32) - [40, 160, 220], axis=-1
+    ) < 80
+    assert close.mean() > 0.5
+    vol = load_tsdf(str(out))
+    assert vol.color is not None and (np.asarray(vol.color) != 0).any()

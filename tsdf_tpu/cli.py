@@ -146,7 +146,27 @@ def cmd_fuse(args):
             d = jnp.asarray(depth_img.data)
             yield (d, jnp.asarray(pose)) if with_pose else d
 
-    if args.track:
+    if getattr(args, "fuse_color", False):
+        # Colour fusion (GT poses, lax integrate — the capability path;
+        # the reference allocates colours but never fuses them). Streams
+        # (depth, pose, rgb) triples; frames without rgb fuse depth only.
+        from .ops.integrate import integrate
+
+        vol = vol.with_color()
+        count = 0
+        for i, (depth_img, pose, rgb) in enumerate(loader.iter_with_rgb()):
+            if i >= n:
+                break
+            camera = camera.set_pose(jnp.asarray(pose))
+            vol = integrate(
+                vol,
+                jnp.asarray(depth_img.data),
+                camera,
+                rgb=None if rgb is None else jnp.asarray(rgb),
+            )
+            count += 1
+        print(f"fused {count} frames with colour")
+    elif args.track:
         camera = camera.set_pose(first_pose)
         vol, camera, poses, stats = track_and_fuse_frames(
             vol, camera, stream(False), cfg
@@ -350,6 +370,11 @@ def main(argv=None):
     p.add_argument("--scene", default="scene.png")
     p.add_argument("--normals", default="normals.png")
     p.add_argument("--color", help="colour render PNG (needs a colour volume)")
+    p.add_argument(
+        "--fuse-color", action="store_true",
+        help="fuse rgb/<stamp>.png frames into per-voxel colour "
+        "(GT poses, lax path)",
+    )
     p.add_argument("--mesh", default="mesh.ply")
     p.add_argument("--max-cubes", type=int, default=1 << 18)
     p.add_argument("--max-vertices", type=int, default=1 << 20)

@@ -108,3 +108,27 @@ class TUMDataLoader:
         # TUM depth PNGs are in 1/5000 m; x 0.2 converts to mm
         # (ref: TUMDataLoader.cpp:96-98).
         return DepthImage.from_png(depth_path).scale_depth(0.2)
+
+    def iter_with_rgb(self):
+        """Yield (DepthImage, pose, rgb | None) triples.
+
+        The reference loader is depth-only (its colour arrays are never
+        written, SURVEY §2.1); this framework fuses colour, so the same
+        simplified TUM layout is extended with ``rgb/<stamp>.png``
+        (u8 RGB) sharing the depth frame's timestamp. Missing rgb files
+        yield None for that frame.
+        """
+        from .png import load_png
+
+        for depth_path, pose in self.entries:
+            stamp = os.path.splitext(os.path.basename(depth_path))[0]
+            rgb_path = os.path.join(
+                self.directory, "rgb", f"{stamp}.png"
+            )
+            rgb = None
+            if os.path.exists(rgb_path):
+                img = load_png(rgb_path)
+                if img.ndim == 2:  # greyscale: broadcast to RGB
+                    img = np.repeat(img[..., None], 3, axis=-1)
+                rgb = img[..., :3].astype(np.uint8)
+            yield self._load(depth_path), pose, rgb
