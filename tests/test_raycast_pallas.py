@@ -130,3 +130,46 @@ def test_raycast_pallas_bf16_volume():
     both = hit32 & hit16
     err = np.linalg.norm(np.asarray(v32)[both] - np.asarray(v16)[both], axis=-1)
     assert np.median(err) < 5.0  # mm; bf16 tsdf quantization
+
+
+def test_empty_volume_all_misses():
+    """A cleared volume (+trunc everywhere) takes the all-positive
+    brick-skip branch for every brick and must report all misses."""
+    vol = make_volume((64,) * 3, 2000.0, offset=(-1000.0, -1000.0, 0.0))
+    cam = (
+        Camera.from_intrinsics(FX, FY, CX, CY)
+        .move_to([0.0, 0.0, -500.0])
+        .look_at([0.0, 0.0, 1000.0])
+    )
+    vp, _ = raycast_pallas(vol, cam, width=W, height=H, interpret=True)
+    assert not np.isfinite(np.asarray(vp)).any()
+
+
+def test_crossing_at_brick_boundary():
+    """Zero crossing between the last slab of a skipped (all-positive)
+    brick and the first slab of the next brick: the skip branch samples
+    the sweep-last slab of every empty brick, so the secant's previous
+    sample stays adjacent and the hit depth must be exact."""
+    vol = make_volume((64,) * 3, 2000.0, offset=(-1000.0, -1000.0, 0.0))
+    vs = float(vol.voxel_size[2])
+    # wall plane just past the slab-3/slab-4 brick boundary (zl=4)
+    depth = 0.0 + 4.0 * vs  # off_z + 4 voxels
+    vol = fixtures.wall_tsdf(vol, depth)
+    cam = (
+        Camera.from_intrinsics(FX, FY, CX, CY)
+        .move_to([0.0, 0.0, -800.0])
+        .look_at([0.0, 0.0, 1000.0])
+    )
+    vr, _ = raycast(vol, cam, width=W, height=H)
+    vp, _ = raycast_pallas(vol, cam, width=W, height=H, interpret=True)
+    hp = np.isfinite(np.asarray(vp)).all(-1)
+    assert hp.mean() > 0.5  # the wall fills the central view
+    # wall TSDF is linear in z inside the truncation band: the secant
+    # lands exactly on the plane
+    zhit = np.asarray(vp)[hp][:, 2]
+    assert np.abs(zhit - depth).max() < 0.1, np.abs(zhit - depth).max()
+    # and agrees with the lax reference path
+    hr = np.isfinite(np.asarray(vr)).all(-1)
+    both = hr & hp
+    err = np.linalg.norm(np.asarray(vr)[both] - np.asarray(vp)[both], axis=-1)
+    assert np.median(err) < 0.5

@@ -231,12 +231,8 @@ def _sweep_bricks(
         prev_s = jnp.where(valid, s, prev_s)
         return prev_s, state, hit_z
 
-    def body(b, j, block, p0, carry):
-        s_base = b * zl + j * K
-        s_hi = jnp.minimum((b + 1) * zl, Z)
-        fields = [
-            slab_fields(s_base + t, s_hi, block, p0) for t in range(K)
-        ]
+    def run_slabs(s_list, s_hi, block, p0, carry):
+        fields = [slab_fields(s, s_hi, block, p0) for s in s_list]
 
         # pass A for all K slabs in one gather per tap
         tab_a = jnp.concatenate([f["slab_t"] for f in fields], axis=0)
@@ -295,11 +291,31 @@ def _sweep_bricks(
         p0 = jnp.where(reverse, Z - (b + 1) * zl, b * zl)
         p0 = jnp.clip(p0, 0, max(Z - zl, 0))
         block = provider(p0, zl)
+        s_hi = jnp.minimum((b + 1) * zl, Z)
 
-        def inner(j, carry):
-            return body(b, j, block, p0, carry)
+        def full(carry):
+            def inner(j, carry):
+                s_base = b * zl + j * K
+                return run_slabs(
+                    [s_base + t for t in range(K)], s_hi, block, p0, carry
+                )
 
-        return b + 1, jax.lax.fori_loop(0, n_inner, inner, carry)
+            return jax.lax.fori_loop(0, n_inner, inner, carry)
+
+        def skip(carry):
+            # All-positive brick: no sample (bilinear = convex comb of
+            # positives) can satisfy s <= 0, so neither a crossing nor an
+            # entry hit can originate here. Sampling ONLY the sweep-last
+            # slab preserves exactness: it is the adjacent previous
+            # sample for the next brick's first slab (secant z_prev
+            # stays correct) and keeps enter/exit liveness flowing.
+            # Empty space is most of a TSDF (cleared to +trunc), so deep
+            # scenes skip most of the sweep's gather work.
+            return run_slabs([s_hi - 1], s_hi, block, p0, carry)
+
+        empty = jnp.min(block.astype(jnp.float32)) > 0.0
+        carry = jax.lax.cond(empty, skip, full, carry)
+        return b + 1, carry
 
     _, (_, _, hit_z) = jax.lax.while_loop(cond, wbody, init)
 
