@@ -233,3 +233,34 @@ def test_tpu_safe_chunk_boundary_wall():
     gv, gx = _vertex_set(got)
     np.testing.assert_array_equal(gx, rx)
     np.testing.assert_allclose(gv, rv, atol=1e-3)
+
+
+def test_chunk_overflow_flag_and_unchunked_fallback():
+    """A tiny max_chunks forces the chunked compaction to overflow; the
+    flag must be set, and the use_chunked=False fallback must agree with
+    the XLA path (its only cap is max_cubes)."""
+    from tsdf_tpu.ops.marching_cubes import _chunked_compact, _extract_arrays
+
+    vol = make_volume((48,) * 3, 1500.0, offset=(-750.0, -750.0, 0.0))
+    vol = fixtures.sphere_tsdf(vol, 300.0, centre=(0.0, 0.0, 750.0))
+    *_rest, chunk_overflow, _n = _chunked_compact(
+        vol.tsdf, None, 1 << 14, max_chunks=4
+    )
+    assert bool(chunk_overflow)
+
+    kw = dict(max_cubes=1 << 14, max_vertices=1 << 16, layout="masked")
+    ref = _extract_arrays(
+        vol.tsdf, vol.voxel_size, vol.offset, tpu_safe=False, **kw
+    )
+    got = _extract_arrays(
+        vol.tsdf, vol.voxel_size, vol.offset, tpu_safe=True,
+        use_chunked=False, **kw
+    )
+    assert not bool(got.overflowed)
+    assert int(got.n_vertices) == int(ref.n_vertices)
+    np.testing.assert_array_equal(
+        np.asarray(got.valid), np.asarray(ref.valid)
+    )
+    gv, rv = np.asarray(got.vertices), np.asarray(ref.vertices)
+    m = np.asarray(got.valid)
+    np.testing.assert_allclose(gv[m], rv[m], atol=1e-4)

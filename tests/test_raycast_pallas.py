@@ -173,3 +173,37 @@ def test_crossing_at_brick_boundary():
     both = hr & hp
     err = np.linalg.norm(np.asarray(vr)[both] - np.asarray(vp)[both], axis=-1)
     assert np.median(err) < 0.5
+
+
+def test_geometry_behind_camera_inside_volume():
+    """Slabs behind the camera mirror-project onto the image; before the
+    t>0 slab gate, a mirror sample with s <= 0 killed the ray before its
+    true forward intersection. Camera sits between two spheres, looking
+    at the far one."""
+    vol = make_volume((64,) * 3, 2000.0, offset=(-1000.0, -1000.0, 0.0))
+    centres = vol.voxel_centres()
+    trunc = vol.truncation_distance
+    da = jnp.linalg.norm(
+        centres - jnp.array([0.0, 0.0, 400.0]), axis=-1
+    ) - 250.0
+    db = jnp.linalg.norm(
+        centres - jnp.array([0.0, 0.0, 1500.0]), axis=-1
+    ) - 250.0
+    dist = jnp.clip(jnp.minimum(da, db), -trunc, trunc)
+    vol = vol.replace(tsdf=dist, weight=jnp.ones_like(vol.weight))
+    cam = (
+        Camera.from_intrinsics(FX, FY, CX, CY)
+        .move_to([0.0, 0.0, 850.0])
+        .look_at([0.0, 0.0, 1500.0])
+    )
+    vr, _ = raycast(vol, cam, width=W, height=H)
+    vp, _ = raycast_pallas(vol, cam, width=W, height=H, interpret=True)
+    hr = np.isfinite(np.asarray(vr)).all(-1)
+    hp = np.isfinite(np.asarray(vp)).all(-1)
+    assert hp.mean() > 0.1  # the far sphere is visible and hit
+    assert (hr == hp).mean() > 0.999
+    both = hr & hp
+    err = np.linalg.norm(np.asarray(vr)[both] - np.asarray(vp)[both], axis=-1)
+    assert np.median(err) < 1.0
+    # every hit is on the FAR sphere (z > camera), none behind
+    assert (np.asarray(vp)[hp][:, 2] > 850.0).all()

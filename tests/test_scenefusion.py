@@ -237,13 +237,14 @@ def test_fused_step_matches_sequential():
     flow = jnp.broadcast_to(
         jnp.array([5.0, 0.0, 0.0], jnp.float32), (H, W, 3)
     )
-    got, miss, n_corr = _sf_step_pallas(
+    got, miss, n_corr, overflow = _sf_step_pallas(
         vol, depth, flow, cam,
         max_cubes=1 << 14, nk=5,
         threshold_mm=10.0, tpu_safe=False,
     )
     assert int(miss) == 0
     assert int(n_corr) > 100
+    assert not bool(overflow)
 
     soup = extract_surface(vol, max_cubes=1 << 14, max_vertices=1 << 16)
     mid, n_ref = update_deformation(vol, soup, depth, cam, flow)
@@ -287,4 +288,67 @@ def test_update_deformation_cubes_matches_slot_stream():
     assert int(n_got) == int(n_ref)
     np.testing.assert_allclose(
         np.asarray(got.deform), np.asarray(ref.deform), atol=1e-4
+    )
+
+
+def test_correspondence_uses_camera_depth_not_world_z():
+    """A 90-deg-yaw camera: acceptance must compare camera-space depth
+    (the reference's depth-only distance in ITS identity frame), not
+    world z — and a vertex behind the camera (mirror projection) must
+    never correspond."""
+    from tsdf_tpu.pipelines.scenefusion import _slot_correspondence
+
+    cam = (
+        Camera.from_intrinsics(FX, FY, CX, CY)
+        .move_to([0.0, 0.0, 0.0])
+        .look_at([1000.0, 0.0, 0.0])  # looking along world +x
+    )
+    depth = jnp.full((H, W), 1000.0, jnp.float32)
+    flow = jnp.ones((H, W, 3), jnp.float32)
+    verts = jnp.array(
+        [
+            [1000.0, 0.0, 0.0],   # on the observed surface -> corr
+            [1200.0, 0.0, 0.0],   # 200mm beyond it -> reject (world z
+                                  # of both reproj and vertex is 0!)
+            [-1000.0, 0.0, 0.0],  # behind the camera -> reject
+        ],
+        jnp.float32,
+    )
+    corr, fl = _slot_correspondence(
+        verts, jnp.ones(3, bool), depth, cam, flow, 10.0
+    )
+    assert bool(corr[0])
+    assert not bool(corr[1])
+    assert not bool(corr[2])
+    assert np.asarray(fl)[1:].sum() == 0.0
+
+
+def test_update_deformation_rotated_camera():
+    """Correspondences and flow application stay correct for a camera
+    with a non-identity rotation (the reference only ever runs identity;
+    this framework takes arbitrary tracked poses)."""
+    vol, _cam0, _d0 = _sphere_setup()
+    cam = (
+        Camera.from_intrinsics(FX, FY, CX, CY)
+        .move_to([600.0, 0.0, 150.0])
+        .look_at([0.0, 0.0, 750.0])
+    )
+    depth = render_to_depth_image(vol, cam, width=W, height=H)
+    flow = jnp.broadcast_to(
+        jnp.array([25.0, 0.0, 0.0], jnp.float32), (H, W, 3)
+    )
+    soup = extract_surface(vol, max_cubes=1 << 14, max_vertices=1 << 16)
+    new_vol, n_corr = update_deformation(vol, soup, depth, cam, flow)
+    n_valid = int(jnp.sum(soup.valid.astype(jnp.int32)))
+    assert 100 < int(n_corr) < n_valid  # visible side only
+    delta = np.asarray(new_vol.deform - vol.deform)
+    moved = np.abs(delta[..., 0]) > 1.0
+    assert moved.sum() > 100
+    # tpu_safe scatter path agrees
+    ref, n_ref = update_deformation(
+        vol, soup, depth, cam, flow, tpu_safe=True
+    )
+    assert int(n_ref) == int(n_corr)
+    np.testing.assert_allclose(
+        np.asarray(ref.deform), np.asarray(new_vol.deform), atol=1e-4
     )

@@ -26,9 +26,11 @@ way:
   factoring compiles in seconds and keeps all state in XLA loop
   carries.
 
-  The first + -> - crossing is secant-refined in z; a - -> + transition
-  kills the ray (backface miss), matching the reference's termination
-  semantics (ref: GPURaycaster.cu:325-374). Sampling density is one
+  The first + -> - crossing is secant-refined in z; a ray whose first
+  valid sample is already <= 0 registers an entry hit at that slab
+  plane. Any <= 0 sample terminates the ray, so a marching ray always
+  has prev_s > 0 and the reference's - -> + backface transition cannot
+  arise (ref: GPURaycaster.cu:325-374). Sampling density is one
   sample per slab crossing instead of the reference's 20 per truncation
   distance; the TSDF's sign bands are >= a truncation distance
   (~2 voxels) wide, so crossings are still bracketed, and the secant
@@ -168,6 +170,12 @@ def _sweep_bricks(
             & (v_pix >= 0.0)
             & (v_pix <= Yr - 1.0)
             & (s_idx < s_hi)  # inside this brick's sweep range and < Z
+            # slab plane must be IN FRONT of this ray (t > 0): a slab
+            # behind the camera projects to the ray's mirror image, and
+            # a mirror sample with s <= 0 would kill the ray before its
+            # true forward intersection (camera inside the volume with
+            # geometry behind it).
+            & ((zk - o_z) * d_z > 0.0)
         )
 
         # Row lines in slab space from the row's first/last pixels.
@@ -203,13 +211,20 @@ def _sweep_bricks(
         )
 
     def crossing_update(carry, s, valid, zk):
+        # Termination semantics: ANY s <= 0 sample kills the ray — as a
+        # secant-refined crossing when the previous valid sample was
+        # positive, or as an entry hit at the slab plane when the ray's
+        # first valid sample is already non-positive (camera inside /
+        # behind a surface; this also subsumes the reference's
+        # backface-miss case, ref: GPURaycaster.cu:352-355 — a marching
+        # ray here always has prev_s > 0, so a - -> + transition cannot
+        # occur).
         prev_s, state, hit_z = carry
         prev_valid = state == _S_MARCH
         dead = state == _S_DEAD
         fvalid = valid & ~dead
         entry_hit = fvalid & (state == _S_NOPREV) & (s <= 0.0)
         cross = fvalid & prev_valid & (prev_s > 0.0) & (s <= 0.0)
-        backface = fvalid & prev_valid & (prev_s < 0.0) & (s > 0.0)
 
         z_prev = zk - sweep_sign * vs[2]
         denom = prev_s - s
@@ -224,7 +239,7 @@ def _sweep_bricks(
         # a marching ray that left the (convex) volume can never re-enter
         exited = prev_valid & jnp.logical_not(valid)
         state = jnp.where(
-            dead | new_hit | backface | exited,
+            dead | new_hit | exited,
             _S_DEAD,
             jnp.where(valid, _S_MARCH, _S_NOPREV),
         )

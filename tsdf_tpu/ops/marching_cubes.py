@@ -253,8 +253,11 @@ def _chunked_compact(
     if max_chunks is None:
         # compacted-space work is linear in the cap, so keep it tight:
         # surfaces occupy a few % of chunks (a 255³ sphere: 1754 of
-        # 32768); 1/16 of the chunk grid leaves ~3x headroom and a
-        # chunk overflow is reported via ``overflowed``
+        # 32768). The floor of max(2048, n_chunks/16) is only ~1.2x that
+        # sphere — room-scale scenes CAN overflow; overflow is reported
+        # via ``overflowed`` and callers fall back to the full-volume
+        # sort compaction (use_chunked=False), so no cube is ever
+        # silently dropped.
         max_chunks = min(n_chunks, max(_MAX_CHUNKS, n_chunks // 16))
 
     # Pad the voxel grid by one extra chunk layer with edge replication:
@@ -422,6 +425,7 @@ def _extract_arrays(
     layout: str = "dense",
     tpu_safe: bool = False,
     return_cube_slots: bool = False,
+    use_chunked: bool = True,
 ) -> TriangleSoup:
     """Core extraction over raw arrays.
 
@@ -438,6 +442,10 @@ def _extract_arrays(
         fused SceneFusion step uses these to fold slot contributions
         onto cube corners before scattering (cube-corner streams are
         sorted by construction).
+      use_chunked: allow the chunked compaction on the TPU path. Pass
+        False to force the full-volume sort compaction — the exact
+        fallback when a chunk overflow was reported (its only capacity
+        limit is max_cubes itself).
     """
     assert layout in ("dense", "masked"), layout
     Z, Y, X = d.shape
@@ -464,7 +472,7 @@ def _extract_arrays(
     # --- phase 2: compact occupied cubes on-device -------------------------
     ws_pre = None
     chunk_overflow = jnp.bool_(False)
-    if tpu_safe and n_cubes <= _CHUNK_GATE_CUBES:
+    if tpu_safe and use_chunked and n_cubes <= _CHUNK_GATE_CUBES:
         # classification happens inside, in compacted chunk space
         (cid, types, ws_pre, cube_valid, chunk_overflow, n_occ) = (
             _chunked_compact(d, n_cube_z, max_cubes)
@@ -587,7 +595,7 @@ def _extract_arrays(
     if voxel_index_base is not None:
         edge_vox = edge_vox + voxel_index_base
 
-    # triangulation lookup: 15 slot-edges per cube from the 256-row table
+    # triangulation lookup: _MAX_V slot-edges per cube from the 256-row table
     tri_table = jnp.asarray(TRI_TABLE, jnp.int32)
     if tpu_safe:
         tri_edges = jnp.stack(

@@ -15,8 +15,9 @@ SceneFusion_krnl.cu:236-401). Per frame:
      flow(pixel)/usage(voxel) to BOTH its bracketing voxels'
      translations. The reference does this with racy non-atomic adds
      (ref: update_deformation_field SceneFusion_krnl.cu:211-232,
-     SURVEY.md §5 'known race'); here it is one deterministic
-     ``segment_sum`` scatter;
+     SURVEY.md §5 'known race'); here the adds are deterministic sums —
+     XLA ``.at[].add`` on CPU, the sorted matmul scatter
+     (ops/scatter.py) on TPU;
   4. integrate the new depth frame into the (now deformed) volume
      (ref: SceneFusion.cpp:139).
 
@@ -101,12 +102,19 @@ def _slot_correspondence(
     )
     g = jnp.take(img, lin, axis=0, mode="clip")  # (N, 4)
     d = g[:, 0]
-    # reproject the pixel at the observed depth and compare world z
-    # (ref: SceneFusion_krnl.cu:100-105 — depth-only distance)
-    pix_f = jnp.stack([px, py], axis=-1).astype(jnp.float32)
-    reproj = camera.pixel_to_world(pix_f, d)
-    corr = in_img & (d > 0) & (
-        jnp.abs(reproj[..., 2] - verts[..., 2]) < threshold_mm
+    # Compare CAMERA-space depth (the reference's depth-only distance,
+    # ref: SceneFusion_krnl.cu:100-105, where the camera frame is the
+    # world frame). Comparing world z would only be correct for an
+    # identity rotation; and a vertex BEHIND the camera mirror-projects
+    # into the image (both pixel signs flip back in range), so gate on
+    # cam_z > 0 — the same behind-camera gate ops/integrate.py applies
+    # to the ungated reference projection.
+    cam_z = camera.world_to_camera(verts)[..., 2]
+    corr = (
+        in_img
+        & (d > 0)
+        & (cam_z > 0)
+        & (jnp.abs(d - cam_z) < threshold_mm)
     )
     return corr, jnp.where(corr[:, None], g[:, 1:], 0.0)
 
@@ -194,14 +202,14 @@ def update_deformation_cubes(
     Same math, different factoring: every bracketing voxel of a mesh
     vertex is a corner of its cube, so the (count, flow) contributions
     fold per cube onto its 8 corners with a static edge→corner table
-    (pure VPU compares + reductions over the 15 slots), and all 8
-    corner streams ride ONE 32-channel ``scatter_add_flat`` targeted at
-    the corner-0 voxel (cid is id-sorted, so the stream is pre-sorted
-    and there is a single window walk); corner k's dense result is then
-    shifted into place by its static voxel offset (out[lin+off] += v ==
-    shift(scatter(lin, v), off)) — ~30× fewer matmul windows than
-    scattering the raw 2·15·max_cubes slot stream, and 8× fewer than
-    one scatter per corner.
+    (pure VPU compares + reductions over the _MAX_V=24 slots), and all
+    8 corner streams ride ONE 32-channel ``scatter_add_flat`` targeted
+    at the cube-base voxel (z, y, x) (cid is id-sorted, so the stream
+    is pre-sorted and there is a single window walk); corner k's dense
+    result is then shifted into place by its static voxel offset
+    (out[lin+off] += v == shift(scatter(lin, v), off)) — ~48× fewer
+    matmul windows than scattering the raw 2·24·max_cubes slot stream,
+    and 8× fewer than one scatter per corner.
     """
     from ..ops.marching_cubes import CORNER_OFFSETS, EDGE_CORNERS, _MAX_V
 
@@ -212,7 +220,7 @@ def update_deformation_cubes(
     )
     n_corr = jnp.sum(corr.astype(jnp.int32))
 
-    # (C, 15, 4) contributions: count channel over all valid slots,
+    # (C, _MAX_V, 4) contributions: count channel over all valid slots,
     # flow channels over corresponding slots (already corr-masked)
     contrib = jnp.concatenate(
         [
@@ -249,13 +257,13 @@ def update_deformation_cubes(
         a, b, c = corner_edges[k]
         w_k = edge_mask[a] + edge_mask[b] + edge_mask[c]  # (C, 15)
         payload.append(jnp.einsum("cs,csd->dc", w_k, contrib))  # (4, C)
-    lin0 = (cz_ * Y + cy_) * X + cx_  # corner 0's voxel id
+    lin0 = (cz_ * Y + cy_) * X + cx_  # cube-base voxel id (corner 3)
     # invalid cubes sit at the tail (cube_valid is a prefix); point
     # them past the end so the sorted scatter stops there
     lin0 = jnp.where(cube_valid, lin0, n_vox)
     res = scatter_add_flat(
         n_vox, lin0, jnp.concatenate(payload, axis=0), is_sorted=True
-    )  # (32, n_vox), channels 4k..4k+3 = corner k at its corner-0 voxel
+    )  # (32, n_vox), channels 4k..4k+3 = corner k at its cube-base voxel
     acc = jnp.zeros((4, n_vox), jnp.float32)
     for k in range(8):
         dx, dy, dz = (int(v) for v in CORNER_OFFSETS[k])
@@ -276,7 +284,9 @@ def update_deformation_cubes(
 
 @partial(
     jax.jit,
-    static_argnames=("max_cubes", "nk", "threshold_mm", "tpu_safe"),
+    static_argnames=(
+        "max_cubes", "nk", "threshold_mm", "tpu_safe", "use_chunked"
+    ),
 )
 def _sf_step_pallas(
     vol: TSDFVolume,
@@ -288,6 +298,7 @@ def _sf_step_pallas(
     nk: int,
     threshold_mm: float,
     tpu_safe: bool,
+    use_chunked: bool = True,
 ):
     """One fused SceneFusion frame: masked-layout surface extraction ->
     deformation-field update -> warped-volume Pallas integrate, all in
@@ -295,11 +306,14 @@ def _sf_step_pallas(
     tracked KinectFusion from 83 to 36.6 ms/frame through the remote
     tunnel; ref loop: SceneFusion.cpp:84-185).
 
-    Returns (volume, integrate-miss count, correspondence count). A
-    non-zero miss means the accumulated warp exceeded the kernel's
-    horizontal pixel budget for some voxel; the caller re-runs the
-    integrate through the lax path (exact-or-skip — no observation is
-    ever silently lost).
+    Returns (volume, integrate-miss count, correspondence count,
+    extraction-overflow flag). A non-zero miss means the accumulated
+    warp exceeded the kernel's horizontal pixel budget for some voxel;
+    the caller re-runs the integrate through the lax path. A set
+    overflow means the chunked compaction's active-chunk cap (or
+    max_cubes itself) truncated the mesh; the caller re-runs the frame
+    with ``use_chunked=False`` (exact-or-skip — no observation is ever
+    silently lost).
     """
     from ..kernels.integrate import integrate_warped_pallas
 
@@ -313,6 +327,7 @@ def _sf_step_pallas(
             layout="masked",
             tpu_safe=True,
             return_cube_slots=True,
+            use_chunked=use_chunked,
         )
         vol, n_corr = update_deformation_cubes(
             vol, soup, cid, edge_idx, cube_valid, depth, camera, flow,
@@ -334,7 +349,7 @@ def _sf_step_pallas(
     out, miss = integrate_warped_pallas(
         vol, depth, camera, nk=nk, interpret=not tpu_safe
     )
-    return out, miss, n_corr
+    return out, miss, n_corr, soup.overflowed
 
 
 class SceneFusion:
@@ -371,7 +386,7 @@ class SceneFusion:
         if self.last_depth is not None and cfg.use_pallas:
             _t, _r, flow = self.sfa.compute_scene_flow(depth, colour)
             tpu_safe = jax.default_backend() == "tpu"
-            vol, miss, _n = _sf_step_pallas(
+            vol, miss, _n, overflow = _sf_step_pallas(
                 self.volume,
                 jnp.asarray(depth, jnp.float32),
                 jnp.asarray(flow, jnp.float32),
@@ -381,6 +396,31 @@ class SceneFusion:
                 threshold_mm=cfg.threshold_mm,
                 tpu_safe=tpu_safe,
             )
+            if tpu_safe and bool(overflow):
+                # The chunked compaction's active-chunk cap truncated
+                # the mesh: redo the frame through the full-volume sort
+                # compaction (slower, but its only cap is max_cubes).
+                vol, miss, _n, overflow = _sf_step_pallas(
+                    self.volume,
+                    jnp.asarray(depth, jnp.float32),
+                    jnp.asarray(flow, jnp.float32),
+                    self.camera,
+                    max_cubes=cfg.max_cubes,
+                    nk=cfg.integrate_nk,
+                    threshold_mm=cfg.threshold_mm,
+                    tpu_safe=tpu_safe,
+                    use_chunked=False,
+                )
+            if bool(overflow):
+                import warnings
+
+                warnings.warn(
+                    f"SceneFusion frame {self.frame_index}: occupied "
+                    f"cubes exceed max_cubes={cfg.max_cubes}; mesh (and "
+                    "the deformation update) truncated — raise "
+                    "SceneFusionConfig.max_cubes",
+                    stacklevel=2,
+                )
             if int(miss) == 0:
                 self.volume = vol
             else:
