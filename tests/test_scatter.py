@@ -158,3 +158,31 @@ def test_lane_gather_windowed_matches_full():
     assert int(miss2) > 0
     chk = lane_gather_checked(tab, wild, interpret=True)
     np.testing.assert_array_equal(np.asarray(chk), np.asarray(ref2))
+
+
+def test_scatter_fold_offsets_matches_naive():
+    """fold_offsets: G stencil taps sharing one window walk == G naive
+    scatters at shifted targets (incl. out-of-range taps dropped and an
+    offset spanning multiple 128-lane rows)."""
+    import numpy as np
+
+    from tsdf_tpu.ops.scatter import scatter_add_flat
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    C = 600
+    offs = (0, 1, 130, 400)  # lane shift, row-crossing, multi-row
+    lin = np.sort(rng.integers(0, n, size=C)).astype(np.int32)
+    val = rng.normal(size=(4 * 2, C)).astype(np.float32)  # Dout=2
+
+    got = scatter_add_flat(
+        n, jnp.asarray(lin), jnp.asarray(val),
+        is_sorted=True, fold_offsets=offs,
+    )
+    ref = np.zeros((2, n), np.float32)
+    for g, off in enumerate(offs):
+        for c in range(C):
+            t = lin[c] + off
+            if 0 <= t < n:
+                ref[:, t] += val[2 * g : 2 * g + 2, c]
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4)

@@ -52,7 +52,10 @@ def _round_up(v: int, m: int) -> int:
 
 
 @partial(
-    jax.jit, static_argnames=("n", "window", "rows_per_patch", "is_sorted")
+    jax.jit,
+    static_argnames=(
+        "n", "window", "rows_per_patch", "is_sorted", "fold_offsets"
+    ),
 )
 def scatter_add_flat(
     n: int,
@@ -61,6 +64,7 @@ def scatter_add_flat(
     window: int = 2048,
     rows_per_patch: int = 256,
     is_sorted: bool = False,
+    fold_offsets: tuple[int, ...] | None = None,
 ) -> jnp.ndarray:
     """out = zeros(n); out[lin[c]] += val[..., c] for every c; returns out.
 
@@ -77,18 +81,43 @@ def scatter_add_flat(
       is_sorted: skip the sort when lin is already non-decreasing
         (cumsum-offset writes; required property is asserted nowhere —
         callers own it).
+      fold_offsets: G static non-negative index offsets. val must then
+        be (G*Dout, C) and the result is (Dout, n) with
+        ``out[:, lin[c] + fold_offsets[g]] += val[g*Dout:(g+1)*Dout, c]``
+        — G offset stencil taps sharing one window walk and ONE matmul
+        per window, folded into a Dout-channel accumulator by a static
+        roll of each tap's patch (the SceneFusion cube-corner update:
+        8 corners x 4 channels fold into 4, cutting the accumulator
+        from 32 to 4 dense channels; entries whose lin+offset lands
+        outside [0, n) are dropped).
 
     Returns:
-      (n,) f32 or (D, n) f32.
+      (n,) f32 or (D, n) f32 ((Dout, n) under ``fold_offsets``).
     """
     squeeze = val.ndim == 1
     vals = val[None, :] if squeeze else val
     D, C = vals.shape
     assert lin.shape == (C,), (lin.shape, vals.shape)
+    if fold_offsets is not None:
+        G = len(fold_offsets)
+        assert D % G == 0, (D, G)
+        assert all(o >= 0 for o in fold_offsets), fold_offsets
+        Dout = D // G
+    else:
+        G, Dout = 1, D
 
     K = int(window)
     RP = int(rows_per_patch)
     nr = max(_round_up(n, _LANE) // _LANE, RP)
+    # folded taps can land up to max(offset) past lin: give the
+    # accumulator pad rows so the rolled patch update never clips, and
+    # trim them at the end (out-of-range taps are thereby dropped)
+    pad_rows = (
+        0
+        if fold_offsets is None
+        else (max(fold_offsets) >> 7) + 2
+    )
+    nrp = nr + pad_rows
 
     lin = jnp.asarray(lin, jnp.int32)
     vals = jnp.asarray(vals, jnp.float32)
@@ -105,7 +134,7 @@ def scatter_add_flat(
     vals = jnp.pad(vals, ((0, 0), (0, K)))
 
     # channel-interleaved accumulator: one (RP, D, 128) patch per window
-    out = jnp.zeros((nr, D, _LANE), jnp.float32)
+    out = jnp.zeros((nrp, Dout, _LANE), jnp.float32)
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (K, RP), 1)
     l_iota = jax.lax.broadcasted_iota(jnp.int32, (K, _LANE), 1)
 
@@ -137,12 +166,35 @@ def scatter_add_flat(
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).reshape(RP, D, _LANE)
-        blk = jax.lax.dynamic_slice(out, (r0, 0, 0), (RP, D, _LANE))
-        out = jax.lax.dynamic_update_slice(out, blk + patch, (r0, 0, 0))
+        if fold_offsets is None:
+            blk = jax.lax.dynamic_slice(out, (r0, 0, 0), (RP, D, _LANE))
+            out = jax.lax.dynamic_update_slice(
+                out, blk + patch, (r0, 0, 0)
+            )
+            return c + count, out
+        # fold the G taps: tap g's (RP, Dout, 128) slice is the patch
+        # built at lin, destined for lin + off — a STATIC shift of
+        # off = q*128 + s in the flat row-major (row, lane) layout:
+        # left-pad s lanes / right-pad 128-s, which re-rows the block to
+        # RP+1 rows at row offset q (pure static pads, no extra matmul)
+        pg = patch.reshape(RP, G, Dout, _LANE).transpose(1, 2, 0, 3)
+        for g, off in enumerate(fold_offsets):
+            q, s = off >> 7, off & (_LANE - 1)
+            a = pg[g].reshape(Dout, RP * _LANE)
+            a = jnp.pad(a, ((0, 0), (s, _LANE - s))).reshape(
+                Dout, RP + 1, _LANE
+            )
+            a = a.transpose(1, 0, 2)  # (RP+1, Dout, 128)
+            blk = jax.lax.dynamic_slice(
+                out, (r0 + q, 0, 0), (RP + 1, Dout, _LANE)
+            )
+            out = jax.lax.dynamic_update_slice(
+                out, blk + a, (r0 + q, 0, 0)
+            )
         return c + count, out
 
     _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), out))
-    out = out.transpose(1, 0, 2).reshape(D, nr * _LANE)[:, :n]
+    out = out.transpose(1, 0, 2).reshape(Dout, nrp * _LANE)[:, :n]
     return out[0] if squeeze else out
 
 

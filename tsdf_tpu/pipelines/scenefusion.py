@@ -253,27 +253,28 @@ def update_deformation_cubes(
     n_vox = vol.tsdf.size
 
     payload = []
+    offs = []
     for k in range(8):
         a, b, c = corner_edges[k]
-        w_k = edge_mask[a] + edge_mask[b] + edge_mask[c]  # (C, 15)
+        w_k = edge_mask[a] + edge_mask[b] + edge_mask[c]  # (C, _MAX_V)
         payload.append(jnp.einsum("cs,csd->dc", w_k, contrib))  # (4, C)
+        dx, dy, dz = (int(v) for v in CORNER_OFFSETS[k])
+        offs.append((dz * Y + dy) * X + dx)
     lin0 = (cz_ * Y + cy_) * X + cx_  # cube-base voxel id (corner 3)
     # invalid cubes sit at the tail (cube_valid is a prefix); point
     # them past the end so the sorted scatter stops there
     lin0 = jnp.where(cube_valid, lin0, n_vox)
-    res = scatter_add_flat(
-        n_vox, lin0, jnp.concatenate(payload, axis=0), is_sorted=True
-    )  # (32, n_vox), channels 4k..4k+3 = corner k at its cube-base voxel
-    acc = jnp.zeros((4, n_vox), jnp.float32)
-    for k in range(8):
-        dx, dy, dz = (int(v) for v in CORNER_OFFSETS[k])
-        off = (dz * Y + dy) * X + dx
-        r = res[4 * k : 4 * k + 4]
-        if off:
-            # a valid cube's corner-k voxel id < n_vox, so the dropped
-            # tail of r is all-zero by construction
-            r = jnp.pad(r, ((0, 0), (off, 0)))[:, :n_vox]
-        acc = acc + r
+    # one window walk + one matmul per window for all 8 corners, folded
+    # into a 4-channel accumulator via the static corner offsets (a
+    # 32-channel dense accumulator would be 8x the volume's f32 bytes —
+    # ~2 GB at 255^3 and an OOM at 512^3)
+    acc = scatter_add_flat(
+        n_vox,
+        lin0,
+        jnp.concatenate(payload, axis=0),
+        is_sorted=True,
+        fold_offsets=tuple(offs),
+    )  # (4, n_vox)
 
     counts = acc[0]
     flow_sum = acc[1:4].T
