@@ -157,12 +157,58 @@ def test_scenefusion_fused_step_on_device():
     flow = jnp.broadcast_to(
         jnp.array([8.0, 0.0, 0.0], jnp.float32), (H, W, 3)
     )
-    out, miss, n_corr = _sf_step_pallas(
+    out, miss, n_corr, overflow = _sf_step_pallas(
         vol, jnp.asarray(depth, jnp.float32), flow, cam,
         max_cubes=1 << 15, nk=5, threshold_mm=10.0, tpu_safe=True,
     )
     assert int(miss) == 0
+    assert not bool(overflow)
     assert int(n_corr) > 100
     delta = np.asarray(out.deform - vol.deform)
     assert (np.abs(delta[..., 0]) > 1.0).sum() > 100
     assert delta[..., 0].max() <= 8.0 + 1e-3
+
+
+def test_scatter_fold_offsets_compiled():
+    """fold_offsets (static-rolled stencil taps) on the chip == naive."""
+    rng = np.random.default_rng(3)
+    n = 4096
+    C = 512
+    offs = (0, 1, 130, 300)
+    lin = np.sort(rng.integers(0, n, size=C)).astype(np.int32)
+    val = rng.normal(size=(8, C)).astype(np.float32)  # Dout = 2
+    got = np.asarray(
+        scatter_add_flat(
+            n, jnp.asarray(lin), jnp.asarray(val),
+            is_sorted=True, fold_offsets=offs,
+        )
+    )
+    ref = np.zeros((2, n), np.float32)
+    for g, off in enumerate(offs):
+        for c in range(C):
+            t = lin[c] + off
+            if 0 <= t < n:
+                ref[:, t] += val[2 * g : 2 * g + 2, c]
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_raycast_empty_brick_skip_compiled():
+    """Empty-brick skipping engages on the chip (deep scene: sphere in
+    front of a far wall) and stays equal to the lax reference."""
+    vol = make_volume((128,) * 3, 2000.0, offset=(-1000.0, -1000.0, 0.0))
+    sph = fixtures.sphere_tsdf(vol, 300.0, centre=(0.0, 0.0, 800.0))
+    wall = fixtures.wall_tsdf(vol, 1900.0)
+    vol = vol.replace(
+        tsdf=jnp.minimum(sph.tsdf, wall.tsdf),
+        weight=jnp.ones_like(vol.weight),
+    )
+    cam = _cam()
+    vr, _ = raycast(vol, cam, width=W, height=H)
+    vp, _ = raycast_pallas(vol, cam, width=W, height=H)
+    hr = np.isfinite(np.asarray(vr)).all(-1)
+    hp = np.isfinite(np.asarray(vp)).all(-1)
+    assert hp.mean() > 0.9  # wall fills the background
+    assert (hr == hp).mean() > 0.999
+    both = hr & hp
+    err = np.linalg.norm(np.asarray(vr)[both] - np.asarray(vp)[both], axis=-1)
+    assert np.median(err) < 1.0
