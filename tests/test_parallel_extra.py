@@ -92,3 +92,105 @@ def test_extract_surface_sharded_matches_single(mesh):
     a = np.sort(np.round(ref_verts, 3).view([("x", "f4"), ("y", "f4"), ("z", "f4")]), axis=0)
     b = np.sort(np.round(verts, 3).view([("x", "f4"), ("y", "f4"), ("z", "f4")]), axis=0)
     np.testing.assert_array_equal(a, b)
+
+
+def test_update_deformation_sharded_matches_single(mesh):
+    """Brick-parallel deformation update (masked extract per brick +
+    corner-fold scatter with halo hand-off) == the single-device update,
+    including the usage-count normalisation and correspondences."""
+    from tsdf_tpu import Camera, make_volume
+    from tsdf_tpu.ops.marching_cubes import extract_surface
+    from tsdf_tpu.ops.raycast import render_to_depth_image
+    from tsdf_tpu.parallel.ops import (
+        shard_volume,
+        update_deformation_sharded,
+    )
+    from tsdf_tpu.pipelines.scenefusion import update_deformation
+    from tsdf_tpu.utils import fixtures
+
+    W_, H_ = 160, 120
+    vol = make_volume(
+        (48, 48, 48), 1500.0, offset=(-750.0, -750.0, 0.0),
+        with_deformation=True,
+    )
+    vol = fixtures.sphere_tsdf(vol, 300.0, centre=(0.0, 0.0, 750.0))
+    cam = (
+        Camera.from_intrinsics(147.775, 147.525, 82.75, 58.65)
+        .move_to([100.0, -50.0, -200.0])
+        .look_at([0.0, 0.0, 750.0])
+    )
+    depth = render_to_depth_image(vol, cam, width=W_, height=H_)
+    flow = jnp.broadcast_to(
+        jnp.array([25.0, -5.0, 3.0], jnp.float32), (H_, W_, 3)
+    )
+
+    soup = extract_surface(vol, max_cubes=1 << 14, max_vertices=1 << 16)
+    ref, n_ref = update_deformation(
+        vol, soup, depth, cam, flow, tpu_safe=False
+    )
+
+    vs = shard_volume(vol, mesh)
+    got, n_got = update_deformation_sharded(
+        vs, depth, cam, flow, mesh,
+        max_cubes_per_brick=1 << 12, tpu_safe=False,
+    )
+    assert int(n_got) == int(n_ref)
+    np.testing.assert_allclose(
+        np.asarray(got.deform), np.asarray(ref.deform), atol=1e-4
+    )
+    # surface voxels actually moved
+    delta = np.asarray(got.deform - vol.deform)
+    assert (np.abs(delta[..., 0]) > 1.0).sum() > 100
+
+
+def test_scenefusion_frame_sharded_matches_single(mesh):
+    """Full non-rigid frame on the mesh (deformation update + deformed
+    integrate) == the single-device sequential chain."""
+    from tsdf_tpu import Camera, make_volume
+    from tsdf_tpu.ops.integrate import integrate
+    from tsdf_tpu.ops.marching_cubes import extract_surface
+    from tsdf_tpu.ops.raycast import render_to_depth_image
+    from tsdf_tpu.parallel.ops import (
+        scenefusion_frame_sharded,
+        shard_volume,
+    )
+    from tsdf_tpu.pipelines.scenefusion import update_deformation
+    from tsdf_tpu.utils import fixtures
+
+    W_, H_ = 160, 120
+    vol = make_volume(
+        (48, 48, 48), 1500.0, offset=(-750.0, -750.0, 0.0),
+        with_deformation=True,
+    )
+    vol = fixtures.sphere_tsdf(vol, 300.0, centre=(0.0, 0.0, 750.0))
+    cam = (
+        Camera.from_intrinsics(147.775, 147.525, 82.75, 58.65)
+        .move_to([0.0, 0.0, -200.0])
+        .look_at([0.0, 0.0, 750.0])
+    )
+    depth = render_to_depth_image(vol, cam, width=W_, height=H_)
+    flow = jnp.broadcast_to(
+        jnp.array([8.0, 0.0, 0.0], jnp.float32), (H_, W_, 3)
+    )
+
+    soup = extract_surface(vol, max_cubes=1 << 14, max_vertices=1 << 16)
+    mid, n_ref = update_deformation(
+        vol, soup, depth, cam, flow, tpu_safe=False
+    )
+    ref = integrate(mid, depth, cam)
+
+    vs = shard_volume(vol, mesh)
+    got, n_got = scenefusion_frame_sharded(
+        vs, depth, cam, flow, mesh,
+        max_cubes_per_brick=1 << 12, tpu_safe=False,
+    )
+    assert int(n_got) == int(n_ref)
+    np.testing.assert_allclose(
+        np.asarray(got.deform), np.asarray(ref.deform), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.tsdf), np.asarray(ref.tsdf), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.weight), np.asarray(ref.weight), atol=1e-5
+    )

@@ -186,6 +186,79 @@ def update_deformation(
     return vol.replace(deform=new_deform), jnp.sum(corr.astype(jnp.int32))
 
 
+def _cube_corner_scatter(
+    contrib: jnp.ndarray,
+    cid: jnp.ndarray,
+    edge_idx: jnp.ndarray,
+    cube_valid: jnp.ndarray,
+    shape: tuple[int, int, int],
+) -> jnp.ndarray:
+    """Fold per-slot contributions onto cube corners and scatter.
+
+    Args:
+      contrib: (C, _MAX_V, D) per-slot payload (already masked).
+      cid: (C,) ascending cube ids over the (Z-1, Y-1, X-1) cube grid of
+        a volume of ``shape`` voxels.
+      edge_idx: (C, _MAX_V) MC edge per slot.
+      cube_valid: (C,) live-cube prefix mask.
+      shape: (Z, Y, X) of the TARGET voxel grid — the sharded caller
+        passes its local-slab-plus-one-halo shape so corner taps that
+        cross the brick boundary land in the halo slab.
+
+    Returns (D, Z*Y*X) f32 accumulated per voxel.
+    """
+    from ..ops.marching_cubes import CORNER_OFFSETS, EDGE_CORNERS
+
+    Z, Y, X = shape
+    C = cid.shape[0]
+    D = contrib.shape[-1]
+
+    # Each corner k is incident to exactly 3 of the 12 edges: w_k per
+    # slot = sum of the 3 edge-equality masks — pure VPU compares, no
+    # table gather. Dead slots carry edge 0 but a zero contribution.
+    ec = np.asarray(EDGE_CORNERS)  # (12, 2) static
+    e = edge_idx  # (C, _MAX_V) in [0, 12)
+    edge_mask = [
+        (e == i).astype(jnp.float32) for i in range(12)
+    ]  # 12 x (C, _MAX_V)
+    corner_edges = [
+        [i for i in range(12) if k in (int(ec[i, 0]), int(ec[i, 1]))]
+        for k in range(8)
+    ]
+    assert all(len(v) == 3 for v in corner_edges)
+
+    cy, cx = Y - 1, X - 1
+    cz_ = cid // (cy * cx)
+    rem = cid - cz_ * (cy * cx)
+    cy_ = rem // cx
+    cx_ = rem - cy_ * cx
+    n_vox = Z * Y * X
+
+    payload = []
+    offs = []
+    for k in range(8):
+        a, b, c = corner_edges[k]
+        w_k = edge_mask[a] + edge_mask[b] + edge_mask[c]  # (C, _MAX_V)
+        payload.append(jnp.einsum("cs,csd->dc", w_k, contrib))  # (D, C)
+        dx, dy, dz = (int(v) for v in CORNER_OFFSETS[k])
+        offs.append((dz * Y + dy) * X + dx)
+    lin0 = (cz_ * Y + cy_) * X + cx_  # cube-base voxel id (corner 3)
+    # invalid cubes sit at the tail (cube_valid is a prefix); point
+    # them past the end so the sorted scatter stops there
+    lin0 = jnp.where(cube_valid, lin0, n_vox)
+    # one window walk + one matmul per window for all 8 corners, folded
+    # into a D-channel accumulator via the static corner offsets (a
+    # dense 8*D-channel accumulator would be 8x the bytes — ~2 GB at
+    # 255^3 and an OOM at 512^3)
+    return scatter_add_flat(
+        n_vox,
+        lin0,
+        jnp.concatenate(payload, axis=0),
+        is_sorted=True,
+        fold_offsets=tuple(offs),
+    )  # (D, n_vox)
+
+
 def update_deformation_cubes(
     vol: TSDFVolume,
     soup: TriangleSoup,
@@ -211,7 +284,7 @@ def update_deformation_cubes(
     matmul windows than scattering the raw 2·24·max_cubes slot stream,
     and 8× fewer than one scatter per corner.
     """
-    from ..ops.marching_cubes import CORNER_OFFSETS, EDGE_CORNERS, _MAX_V
+    from ..ops.marching_cubes import _MAX_V
 
     depth = jnp.asarray(depth, jnp.float32)
     C = cid.shape[0]
@@ -230,50 +303,8 @@ def update_deformation_cubes(
         axis=-1,
     ).reshape(C, _MAX_V, 4)
 
-    # Each corner k is incident to exactly 3 of the 12 edges: w_k per
-    # slot = sum of the 3 edge-equality masks — pure VPU compares, no
-    # table gather. Dead slots carry edge 0 but a zero contribution.
-    ec = np.asarray(EDGE_CORNERS)  # (12, 2) static
-    e = edge_idx  # (C, 15) in [0, 12)
-    edge_mask = [
-        (e == i).astype(jnp.float32) for i in range(12)
-    ]  # 12 x (C, 15)
-    corner_edges = [
-        [i for i in range(12) if k in (int(ec[i, 0]), int(ec[i, 1]))]
-        for k in range(8)
-    ]
-    assert all(len(v) == 3 for v in corner_edges)
-
-    Z, Y, X = vol.tsdf.shape
-    cy, cx = Y - 1, X - 1
-    cz_ = cid // (cy * cx)
-    rem = cid - cz_ * (cy * cx)
-    cy_ = rem // cx
-    cx_ = rem - cy_ * cx
-    n_vox = vol.tsdf.size
-
-    payload = []
-    offs = []
-    for k in range(8):
-        a, b, c = corner_edges[k]
-        w_k = edge_mask[a] + edge_mask[b] + edge_mask[c]  # (C, _MAX_V)
-        payload.append(jnp.einsum("cs,csd->dc", w_k, contrib))  # (4, C)
-        dx, dy, dz = (int(v) for v in CORNER_OFFSETS[k])
-        offs.append((dz * Y + dy) * X + dx)
-    lin0 = (cz_ * Y + cy_) * X + cx_  # cube-base voxel id (corner 3)
-    # invalid cubes sit at the tail (cube_valid is a prefix); point
-    # them past the end so the sorted scatter stops there
-    lin0 = jnp.where(cube_valid, lin0, n_vox)
-    # one window walk + one matmul per window for all 8 corners, folded
-    # into a 4-channel accumulator via the static corner offsets (a
-    # 32-channel dense accumulator would be 8x the volume's f32 bytes —
-    # ~2 GB at 255^3 and an OOM at 512^3)
-    acc = scatter_add_flat(
-        n_vox,
-        lin0,
-        jnp.concatenate(payload, axis=0),
-        is_sorted=True,
-        fold_offsets=tuple(offs),
+    acc = _cube_corner_scatter(
+        contrib, cid, edge_idx, cube_valid, vol.tsdf.shape
     )  # (4, n_vox)
 
     counts = acc[0]
