@@ -106,7 +106,7 @@ def _force_path(vol, layout, tpu_safe, max_cubes=1 << 14, max_vertices=1 << 16):
 
     return _extract_jit(
         vol.tsdf, vol.voxel_size, vol.offset,
-        max_cubes, max_vertices, layout, tpu_safe,
+        max_cubes, max_vertices, layout, tpu_safe, True,
     )
 
 

@@ -89,6 +89,14 @@ def _write_mesh(vol, path, max_cubes, max_vertices):
         vol, max_cubes=max_cubes, max_vertices=max_vertices
     )
     if bool(soup.overflowed):
+        # the chunked compaction's active-chunk cap may be the limit;
+        # the full-volume sort compaction's only caps are the explicit
+        # --max-cubes/--max-vertices
+        soup = extract_surface(
+            vol, max_cubes=max_cubes, max_vertices=max_vertices,
+            use_chunked=False,
+        )
+    if bool(soup.overflowed):
         print(
             "warning: mesh buffers overflowed; rerun with larger "
             "--max-cubes/--max-vertices",

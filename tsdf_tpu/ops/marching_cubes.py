@@ -101,6 +101,7 @@ def extract_surface(
     max_vertices: int = 1 << 20,
     on_cpu: bool | None = None,
     layout: str = "dense",
+    use_chunked: bool = True,
 ) -> TriangleSoup:
     """Extract the zero isosurface as a triangle soup.
 
@@ -118,9 +119,13 @@ def extract_surface(
       layout: "dense" — vertices compacted to [0, n_vertices); "masked"
         — vertices at (cube, slot) positions with ``valid`` mask
         (SceneFusion's per-frame form; skips the compaction scatter).
+      use_chunked: allow the chunked compaction (TPU path). Pass False
+        to force the full-volume sort compaction — the exact fallback
+        when a chunk overflow was reported.
 
     Returns:
-      TriangleSoup. If ``overflowed`` is set, re-run with larger caps.
+      TriangleSoup. If ``overflowed`` is set, re-run with
+      use_chunked=False (chunk-cap overflow) and/or larger caps.
     """
     if on_cpu is None:
         on_cpu = False
@@ -132,26 +137,29 @@ def extract_surface(
         with jax.default_device(cpu):
             return _extract_jit(
                 tsdf, voxel_size, offset, max_cubes, max_vertices,
-                layout, False,
+                layout, False, True,
             )
     tpu_safe = jax.default_backend() == "tpu"
     return _extract_jit(
         vol.tsdf, vol.voxel_size, vol.offset, max_cubes, max_vertices,
-        layout, tpu_safe,
+        layout, tpu_safe, use_chunked,
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("max_cubes", "max_vertices", "layout", "tpu_safe"),
+    static_argnames=(
+        "max_cubes", "max_vertices", "layout", "tpu_safe", "use_chunked"
+    ),
 )
 def _extract_jit(
-    tsdf, voxel_size, offset, max_cubes, max_vertices, layout, tpu_safe
+    tsdf, voxel_size, offset, max_cubes, max_vertices, layout, tpu_safe,
+    use_chunked,
 ):
     return _extract_arrays(
         tsdf, voxel_size, offset,
         max_cubes=max_cubes, max_vertices=max_vertices,
-        layout=layout, tpu_safe=tpu_safe,
+        layout=layout, tpu_safe=tpu_safe, use_chunked=use_chunked,
     )
 
 
