@@ -273,3 +273,61 @@ def test_fuse_color_render(tum_dir, tmp_path):
     assert close.mean() > 0.5
     vol = load_tsdf(str(out))
     assert vol.color is not None and (np.asarray(vol.color) != 0).any()
+
+
+def test_fuse_sharded_devices(tum_dir, tmp_path):
+    """--devices BxR routes fusion through the sharded pipeline on the
+    8-CPU mesh; the fused volume matches the single-device fuse."""
+    ref_tsdf = tmp_path / "ref.tsdf"
+    rc = main(
+        [
+            "fuse", "-d", str(tum_dir), "-m", "3", "-s", "48",
+            "--physical", "2000", "-o", str(ref_tsdf),
+            "--scene", str(tmp_path / "s0.png"),
+            "--normals", str(tmp_path / "n0.png"),
+            "--mesh", "",
+        ]
+        + CAM_ARGS
+    )
+    assert rc == 0
+
+    out_tsdf = tmp_path / "sharded.tsdf"
+    rc = main(
+        [
+            "fuse", "-d", str(tum_dir), "-m", "3", "-s", "48",
+            "--physical", "2000", "--devices", "4x2",
+            "-o", str(out_tsdf),
+            "--scene", str(tmp_path / "s1.png"),
+            "--normals", str(tmp_path / "n1.png"),
+            "--mesh", "",
+        ]
+        + CAM_ARGS
+    )
+    assert rc == 0
+    ref = load_tsdf(str(ref_tsdf))
+    got = load_tsdf(str(out_tsdf))
+    np.testing.assert_allclose(
+        np.asarray(got.weight), np.asarray(ref.weight), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.tsdf), np.asarray(ref.tsdf), atol=1e-2
+    )
+
+
+def test_fuse_sharded_tracked(tum_dir, tmp_path):
+    """--devices with --track runs the full sharded KinectFusion loop."""
+    out_tsdf = tmp_path / "tracked.tsdf"
+    rc = main(
+        [
+            "fuse", "-d", str(tum_dir), "-m", "3", "-s", "48",
+            "--physical", "2000", "--devices", "2x2", "--track",
+            "-o", str(out_tsdf),
+            "--scene", str(tmp_path / "s2.png"),
+            "--normals", str(tmp_path / "n2.png"),
+            "--mesh", "",
+        ]
+        + CAM_ARGS
+    )
+    assert rc == 0
+    vol = load_tsdf(str(out_tsdf))
+    assert float(jnp.sum(vol.weight)) > 0

@@ -174,6 +174,51 @@ def cmd_fuse(args):
             )
             count += 1
         print(f"fused {count} frames with colour")
+    elif getattr(args, "devices", None):
+        # Multi-chip fusion: brick-shard the volume over a BxR device
+        # mesh and run the sharded pipeline (integrate_sharded /
+        # track_and_fuse_frames_sharded) end-to-end.
+        import jax
+        import numpy as _np
+
+        from .parallel import make_mesh, shard_volume
+        from .parallel.ops import (
+            integrate_sharded,
+            track_and_fuse_frames_sharded,
+        )
+
+        b, _, r = args.devices.partition("x")
+        nb, nr = int(b), int(r or 1)
+        if args.size % nb:
+            print(
+                f"--size {args.size} must be divisible by the brick "
+                f"axis ({nb})",
+                file=sys.stderr,
+            )
+            return 1
+        mesh = make_mesh(n_bricks=nb, n_rays=nr)
+        vol = shard_volume(vol, mesh)
+        if args.track:
+            camera = camera.set_pose(first_pose)
+            vol, camera, poses, stats = track_and_fuse_frames_sharded(
+                vol, camera, stream(False), mesh,
+                use_bilateral_filter=cfg.use_bilateral_filter,
+                width=cfg.width, height=cfg.height,
+            )
+            err, inl = stats[-1]
+            print(
+                f"tracked {len(poses)} frames on {nb}x{nr} mesh; "
+                f"lastError={float(err):.2f}mm lastInliers={int(inl)}"
+            )
+        else:
+            count = 0
+            for depth, pose in stream(True):
+                camera = camera.set_pose(pose)
+                vol = integrate_sharded(vol, depth, camera, mesh)
+                count += 1
+            print(f"fused {count} frames on {nb}x{nr} mesh")
+        # un-shard for the single-device render / mesh / save outputs
+        vol = jax.tree.map(_np.asarray, vol)
     elif args.track:
         camera = camera.set_pose(first_pose)
         vol, camera, poses, stats = track_and_fuse_frames(
@@ -374,6 +419,11 @@ def main(argv=None):
     p.add_argument("--track", action="store_true", help="ICP tracking")
     p.add_argument("--filter", action="store_true", help="bilateral prefilter")
     p.add_argument("--pallas", action="store_true", help="TPU Pallas kernels")
+    p.add_argument(
+        "--devices",
+        help="BxR device mesh (brick x ray axes) — multi-chip fusion "
+        "through the sharded pipeline (e.g. 4x2)",
+    )
     p.add_argument("-o", "--out", help="output .tsdf")
     p.add_argument("--scene", default="scene.png")
     p.add_argument("--normals", default="normals.png")
