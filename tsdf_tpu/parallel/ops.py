@@ -117,22 +117,20 @@ def integrate_sharded(
     (kernels/integrate.py) inside the shard_map — the brick decomposition
     of the reference's ``integrate_kernel`` launch (ref:
     src/TSDF/TSDFVolume.cu:889-892) carried onto the device mesh at full
-    single-chip kernel speed per brick. Deformed volumes use the lax
-    path (also the gradient path).
+    single-chip kernel speed per brick. Deformed volumes default to the
+    lax path (also the gradient path); pass use_pallas=True to run the
+    warped line-sweep kernel per brick (exact-or-skip — check the
+    psum'd miss count via return_miss and fall back to lax on misses,
+    as scenefusion_frame_sharded does).
 
     Requires vol.tsdf.shape[0] % mesh.shape["b"] == 0.
 
     Returns the updated volume, or (volume, miss_count) when
-    ``return_miss`` (Pallas path only; the lax path misses nothing).
+    ``return_miss`` (Pallas paths only; the lax path misses nothing).
     """
     has_deform = vol.deform is not None
     if use_pallas is None:
         use_pallas = not has_deform
-    if use_pallas and has_deform:
-        raise ValueError(
-            "the Pallas integrate is the rigid path; deformed volumes "
-            "integrate through the lax path (use_pallas=False)"
-        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     out, miss = _integrate_sharded_jit(
@@ -176,7 +174,15 @@ def _integrate_sharded_jit(
         cam = Camera(
             k=k, k_inv=jnp.linalg.inv(k), pose=pose, pose_inv=pose_inv
         )
-        if use_pallas:
+        if use_pallas and has_deform:
+            from ..kernels.integrate import integrate_warped_pallas
+
+            out, miss = integrate_warped_pallas(
+                lvol, depth, cam, cap_weight=cap_weight, nk=nk,
+                interpret=interpret,
+            )
+            miss = jax.lax.psum(miss, "b")
+        elif use_pallas:
             from ..kernels.integrate import integrate_pallas
 
             out, miss = integrate_pallas(
@@ -856,13 +862,16 @@ def scenefusion_frame_sharded(
     max_cubes_per_brick: int = 1 << 16,
     threshold_mm: float | None = None,
     tpu_safe: bool | None = None,
+    nk: int = 5,
 ):
     """One non-rigid SceneFusion frame on the device mesh: brick-parallel
     deformation update (``update_deformation_sharded``) followed by the
-    brick-parallel deformed-volume integrate (``integrate_sharded``'s
-    lax path). The mesh analogue of the single-device fused step
-    (pipelines/scenefusion.py:_sf_step_pallas; ref loop:
-    SceneFusion.cpp:84-185).
+    brick-parallel deformed-volume integrate — the warped line-sweep
+    Pallas kernel per brick, falling back to the lax path when the
+    exact-or-skip miss counter fires (accumulated warps past the
+    kernel's horizontal pixel budget). The mesh analogue of the
+    single-device fused step (pipelines/scenefusion.py:_sf_step_pallas;
+    ref loop: SceneFusion.cpp:84-185).
 
     Returns (updated volume, total correspondence count).
     """
@@ -872,5 +881,10 @@ def scenefusion_frame_sharded(
         threshold_mm=threshold_mm,
         tpu_safe=tpu_safe,
     )
-    vol = integrate_sharded(vol, depth, camera, mesh)
-    return vol, n_corr
+    out, miss = integrate_sharded(
+        vol, depth, camera, mesh, use_pallas=True, nk=nk,
+        return_miss=True,
+    )
+    if int(miss) > 0:
+        out = integrate_sharded(vol, depth, camera, mesh)
+    return out, n_corr
