@@ -222,7 +222,7 @@ def main():
         )
 
         def sf_fn(v):
-            out, _miss, _n = _sf_step_pallas(
+            out, _miss, _n, _ovf = _sf_step_pallas(
                 v, sf_depth, sf_flow, sf_cam,
                 max_cubes=sf_cfg.max_cubes, nk=sf_cfg.integrate_nk,
                 threshold_mm=sf_cfg.threshold_mm,
