@@ -331,3 +331,50 @@ def test_fuse_sharded_tracked(tum_dir, tmp_path):
     assert rc == 0
     vol = load_tsdf(str(out_tsdf))
     assert float(jnp.sum(vol.weight)) > 0
+
+
+def test_sfusion_cli_sharded(tmp_path):
+    """sfusion --devices: brick-parallel non-rigid fusion end-to-end on
+    the 8-CPU mesh."""
+    import jax.numpy as jnp
+
+    from tsdf_tpu import Camera, make_volume
+    from tsdf_tpu.io.png import save_png
+    from tsdf_tpu.ops.raycast import render_to_depth_image
+    from tsdf_tpu.utils import fixtures
+
+    w, h = 160, 120
+    vol = make_volume(
+        (48,) * 3, 1500.0, offset=(-750.0, -750.0, 0.0),
+        with_deformation=True,
+    )
+    vol = fixtures.sphere_tsdf(vol, 300.0, centre=(0.0, 0.0, 750.0))
+    cam = (
+        Camera.from_intrinsics(591.1 / 4, 590.1 / 4, 331.0 / 4, 234.6 / 4)
+        .move_to([0.0, 0.0, -200.0])
+        .look_at([0.0, 0.0, 750.0])
+    )
+    depth = np.asarray(
+        render_to_depth_image(vol, cam, width=w, height=h)
+    ).astype(np.uint16)
+    for i in range(2):
+        save_png(tmp_path / f"depth_{i:05d}.png", depth)
+    flow_rows = [
+        f"{y} {x} 0.0 0.005 0.0" for y in range(h) for x in range(w)
+    ]
+    for i in range(2):
+        (tmp_path / f"sflow_{i:05d}_results01.txt").write_text(
+            "\n".join(flow_rows) + "\n"
+        )
+    from tsdf_tpu.cli import main
+
+    rc = main([
+        "sfusion", str(tmp_path), str(tmp_path),
+        "-s", "48", "--physical", "1500", "--max-cubes", str(1 << 12),
+        "--devices", "4x2",
+        "--fx", str(591.1 / 4), "--fy", str(590.1 / 4),
+        "--cx", str(331.0 / 4), "--cy", str(234.6 / 4),
+        "--mesh", str(tmp_path / "warped_sharded.ply"),
+    ])
+    assert rc in (0, None)
+    assert (tmp_path / "warped_sharded.ply").exists()

@@ -378,7 +378,21 @@ def cmd_sfusion(args):
         offset_mm=(-args.physical / 2, -args.physical / 2, 0.0),
         max_cubes=args.max_cubes,
     )
-    sf = SceneFusion(sfa, device, cfg, camera=_make_camera(args))
+    mesh = None
+    if getattr(args, "devices", None):
+        from .parallel import make_mesh
+
+        b, _, r = args.devices.partition("x")
+        nb, nr = int(b), int(r or 1)
+        if args.size % nb:
+            print(
+                f"--size {args.size} must be divisible by the brick "
+                f"axis ({nb})",
+                file=sys.stderr,
+            )
+            return 1
+        mesh = make_mesh(n_bricks=nb, n_rays=nr)
+    sf = SceneFusion(sfa, device, cfg, camera=_make_camera(args), mesh=mesh)
     device.start()
     print(f"processed {sf.frame_index} frames")
     if args.mesh:
@@ -479,6 +493,11 @@ def main(argv=None):
     p.add_argument("--mesh", default="mesh.ply")
     # surface-cube capacity: scale down with --size for small volumes
     p.add_argument("--max-cubes", type=int, default=1 << 18)
+    p.add_argument(
+        "--devices",
+        help="BxR device mesh — brick-parallel non-rigid fusion "
+        "(e.g. 4x2)",
+    )
     _add_camera_args(p)
     p.set_defaults(fn=cmd_sfusion)
 

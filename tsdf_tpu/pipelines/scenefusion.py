@@ -399,12 +399,18 @@ class SceneFusion:
         camera: Optional[Camera] = None,
         dump_every: int = 0,
         dump_dir: str = ".",
+        mesh=None,
     ):
         self.config = config
         self.sfa = scene_flow_provider
         self.device = device
         self.camera = camera or Camera.default_depth_camera()
         self.volume = config.make_volume()
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.ops import shard_volume
+
+            self.volume = shard_volume(self.volume, mesh)
         self.last_depth = None
         self.frame_index = 0
         self.dump_every = dump_every
@@ -415,6 +421,40 @@ class SceneFusion:
         """Observer callback (ref: SceneFusion::process_frames :84-185)."""
         depth = jnp.asarray(depth)
         cfg = self.config
+        if self.mesh is not None:
+            # brick-parallel path: sharded deformation update + warped
+            # integrate per brick (parallel/ops.py)
+            from ..parallel.ops import integrate_sharded
+            from ..parallel.ops import scenefusion_frame_sharded
+
+            if self.last_depth is not None:
+                _t, _r, flow = self.sfa.compute_scene_flow(depth, colour)
+                self.volume, _n = scenefusion_frame_sharded(
+                    self.volume,
+                    jnp.asarray(depth, jnp.float32),
+                    self.camera,
+                    jnp.asarray(flow, jnp.float32),
+                    self.mesh,
+                    max_cubes_per_brick=cfg.max_cubes,
+                    threshold_mm=cfg.threshold_mm,
+                    nk=cfg.integrate_nk,
+                )
+            else:
+                out, miss = integrate_sharded(
+                    self.volume, depth, self.camera, self.mesh,
+                    use_pallas=True, nk=cfg.integrate_nk,
+                    return_miss=True,
+                )
+                if int(miss) > 0:
+                    out = integrate_sharded(
+                        self.volume, depth, self.camera, self.mesh
+                    )
+                self.volume = out
+            self.last_depth = depth
+            if self.dump_every and self.frame_index % self.dump_every == 0:
+                self.dump(self.frame_index)
+            self.frame_index += 1
+            return
         if self.last_depth is not None and cfg.use_pallas:
             _t, _r, flow = self.sfa.compute_scene_flow(depth, colour)
             tpu_safe = jax.default_backend() == "tpu"
