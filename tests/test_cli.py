@@ -378,3 +378,43 @@ def test_sfusion_cli_sharded(tmp_path):
     ])
     assert rc in (0, None)
     assert (tmp_path / "warped_sharded.ply").exists()
+
+
+def test_fuse_color_pallas(tum_dir, tmp_path):
+    """--fuse-color --pallas routes colour fusion through the packed
+    two-table kernel; the colour volume matches the lax CLI run."""
+    rgb_dir = tum_dir / "rgb"
+    rgb_dir.mkdir(exist_ok=True)
+    for i in range(3):
+        img = np.zeros((H, W, 3), np.uint8)
+        img[:] = [40, 160, 220]
+        save_png(rgb_dir / f"{i}.0.png", img)
+    ref_out = tmp_path / "cl.tsdf"
+    rc = main(
+        ["fuse", "-d", str(tum_dir), "-m", "3", "-s", "48",
+         "--physical", "2000", "--fuse-color",
+         "-o", str(ref_out), "--mesh", "",
+         "--scene", str(tmp_path / "sl.png"),
+         "--normals", str(tmp_path / "nl.png"),
+         *CAM_ARGS]
+    )
+    assert rc in (0, None)
+    out = tmp_path / "cp.tsdf"
+    rc = main(
+        ["fuse", "-d", str(tum_dir), "-m", "3", "-s", "48",
+         "--physical", "2000", "--fuse-color", "--pallas",
+         "-o", str(out), "--mesh", "",
+         "--scene", str(tmp_path / "sp.png"),
+         "--normals", str(tmp_path / "np.png"),
+         *CAM_ARGS]
+    )
+    assert rc in (0, None)
+    ref = load_tsdf(str(ref_out))
+    got = load_tsdf(str(out))
+    np.testing.assert_array_equal(
+        np.asarray(got.weight), np.asarray(ref.weight)
+    )
+    dc = np.abs(
+        np.asarray(got.color, np.int32) - np.asarray(ref.color, np.int32)
+    )
+    assert dc.max() <= 1

@@ -258,3 +258,84 @@ def test_line_mode_generic_pose_zero_misses():
         np.asarray(line.tsdf)[both], np.asarray(exact.tsdf)[both],
         rtol=0, atol=5.0,  # a differing neighbour pixel moves sdf < 5mm here
     )
+
+
+@pytest.mark.parametrize("mode", ["exact", "line"])
+def test_color_pallas_matches_lax(mode):
+    """integrate_color_pallas == ops.integrate(rgb=...): tsdf, weight
+    and the u8 colour volume (floored-rate blend) bit-equal."""
+    from tsdf_tpu.kernels.integrate import integrate_color_pallas
+
+    vol = make_volume(
+        (64, 64, 64), 2000.0, offset=(-1000.0, -1000.0, 0.0),
+        with_color=True,
+    )
+    cam = (
+        Camera.default_depth_camera()
+        .move_to([120.0, -80.0, -500.0])
+        .look_at([0.0, 0.0, 1000.0])
+    )
+    depth = jnp.asarray(
+        fixtures.sphere_depth_map(640, 480, 120.0, 800.0, 1600.0)
+    )
+    rng = np.random.default_rng(5)
+    rgb = jnp.asarray(
+        rng.integers(0, 256, size=(480, 640, 3)), jnp.uint8
+    )
+    ref = integrate(vol, depth, cam, rgb=rgb)
+    out, miss = integrate_color_pallas(
+        vol, depth, rgb, cam, interpret=True, mode=mode,
+        nk=3,
+    )
+    assert int(miss) == 0
+    np.testing.assert_allclose(
+        np.asarray(out.tsdf), np.asarray(ref.tsdf), atol=5e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.weight), np.asarray(ref.weight)
+    )
+    # colour u8: allow a 1-LSB band at exact .5 rounding boundaries
+    dc = np.abs(
+        np.asarray(out.color, np.int32) - np.asarray(ref.color, np.int32)
+    )
+    assert dc.max() <= 1
+    assert (dc > 0).mean() < 1e-3
+
+
+def test_color_pallas_accumulates_and_caps():
+    """Colour converges toward the observed colour over frames with the
+    floored rate; weight capping matches the lax path."""
+    from tsdf_tpu.kernels.integrate import integrate_color_pallas
+
+    vol = make_volume(
+        (48, 48, 48), 1500.0, offset=(-750.0, -750.0, 0.0),
+        with_color=True, max_weight=4.0,
+    )
+    cam = (
+        Camera.default_depth_camera()
+        .move_to([0.0, 0.0, -300.0])
+        .look_at([0.0, 0.0, 750.0])
+    )
+    depth = jnp.asarray(
+        fixtures.sphere_depth_map(640, 480, 150.0, 700.0, 1200.0)
+    )
+    rgb = jnp.full((480, 640, 3), 200, jnp.uint8)
+    ref = vol
+    out = vol
+    for _ in range(3):
+        ref = integrate(ref, depth, cam, rgb=rgb, cap_weight=True)
+        out, miss = integrate_color_pallas(
+            out, depth, rgb, cam, cap_weight=True, interpret=True
+        )
+        assert int(miss) == 0
+    np.testing.assert_array_equal(
+        np.asarray(out.weight), np.asarray(ref.weight)
+    )
+    dc = np.abs(
+        np.asarray(out.color, np.int32) - np.asarray(ref.color, np.int32)
+    )
+    assert dc.max() <= 1
+    # fused voxels actually took colour
+    w = np.asarray(out.weight) > 0
+    band = np.abs(np.asarray(out.tsdf)) < float(vol.truncation_distance)
+    assert (np.asarray(out.color)[w & band] > 150).any()

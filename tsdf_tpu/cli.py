@@ -166,12 +166,31 @@ def cmd_fuse(args):
             if i >= n:
                 break
             camera = camera.set_pose(jnp.asarray(pose))
-            vol = integrate(
-                vol,
-                jnp.asarray(depth_img.data),
-                camera,
-                rgb=None if rgb is None else jnp.asarray(rgb),
-            )
+            depth_arr = jnp.asarray(depth_img.data)
+            if args.pallas and rgb is not None:
+                # production colour path: the packed two-table line-warp
+                # kernel (the lax colour gather is pathological on TPU)
+                import jax
+
+                from .kernels.integrate import integrate_color_pallas
+
+                out, miss = integrate_color_pallas(
+                    vol, depth_arr, jnp.asarray(rgb), camera,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                if int(miss) == 0:
+                    vol = out
+                else:  # extreme roll: exact-or-skip fallback
+                    vol = integrate(
+                        vol, depth_arr, camera, rgb=jnp.asarray(rgb)
+                    )
+            else:
+                vol = integrate(
+                    vol,
+                    depth_arr,
+                    camera,
+                    rgb=None if rgb is None else jnp.asarray(rgb),
+                )
             count += 1
         print(f"fused {count} frames with colour")
     elif getattr(args, "devices", None):

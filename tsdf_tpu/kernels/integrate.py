@@ -753,3 +753,392 @@ def integrate_auto(
             interpret=interpret,
         )
     return out, miss
+
+
+def _kernel_color(
+    params_ref,  # (1, 24) f32 SMEM
+    depth_ref,  # (Hp, Wp) f32 VMEM
+    rgbp_ref,  # (Hp, Wp) f32 VMEM — packed r*65536 + g*256 + b (24-bit)
+    tsdf_ref,  # (1, Y, BX) VMEM
+    weight_ref,  # (1, Y, BX) VMEM
+    cr_ref,  # (1, Y, BX) f32 VMEM — colour planes
+    cg_ref,
+    cb_ref,
+    out_tsdf_ref,
+    out_weight_ref,
+    out_cr_ref,
+    out_cg_ref,
+    out_cb_ref,
+    out_miss_ref,
+    *,
+    Y: int,
+    BX: int,
+    Hp: int,
+    Wp: int,
+    Hr: int,
+    Wr: int,
+    Yr: int,
+    Xr: int,
+    nk: int,
+    cap_weight: bool,
+    line_mode: bool = False,
+):
+    """Colour-fusing variant of ``_kernel``: the RGB frame rides a second
+    f32 table (24-bit packed, exact) through the SAME two-pass line-warp
+    lookup — the index math, candidate membership masks and match select
+    are shared, so colour costs one extra gather per pass, not a second
+    sweep. Blend semantics match ops/integrate.py's floored-rate colour
+    path exactly (the capability the reference allocates but never
+    writes, ref: TSDFVolume.cu m_colours)."""
+    z = pl.program_id(0)
+    xb = pl.program_id(1)
+
+    p = params_ref
+    r00, r01, r02, t0 = p[0, 0], p[0, 1], p[0, 2], p[0, 3]
+    r10, r11, r12, t1 = p[0, 4], p[0, 5], p[0, 6], p[0, 7]
+    r20, r21, r22, t2 = p[0, 8], p[0, 9], p[0, 10], p[0, 11]
+    fx, fy, cx0, cy0 = p[0, 12], p[0, 13], p[0, 14], p[0, 15]
+    off_x, off_y, off_z = p[0, 16], p[0, 17], p[0, 18]
+    vs_x, vs_y, vs_z = p[0, 19], p[0, 20], p[0, 21]
+    trunc = p[0, 22]
+    max_weight = p[0, 23]
+
+    zf = z.astype(jnp.float32)
+    cz = off_z + (zf + 0.5) * vs_z
+    x0 = (xb * BX).astype(jnp.float32)
+
+    xv_i = jax.lax.broadcasted_iota(jnp.int32, (Y, BX), 1)
+    yv_i = jax.lax.broadcasted_iota(jnp.int32, (Y, BX), 0)
+    xv = xv_i.astype(jnp.float32) + x0
+    yv = yv_i.astype(jnp.float32)
+    vox_valid = (xv_i + pl.program_id(1) * BX < Xr) & (yv_i < Yr)
+    wx = off_x + (xv + 0.5) * vs_x
+    wy = off_y + (yv + 0.5) * vs_y
+    kx = r02 * cz + t0
+    ky = r12 * cz + t1
+    kz = r22 * cz + t2
+    Xc = r00 * wx + r01 * wy + kx
+    Yc = r10 * wx + r11 * wy + ky
+    Zc = r20 * wx + r21 * wy + kz
+    px = fx * Xc / Zc + cx0
+    py = fy * Yc / Zc + cy0
+    px = jnp.where(jnp.isfinite(px), jnp.clip(px, -_BIG, _BIG), -1.0)
+    py = jnp.where(jnp.isfinite(py), jnp.clip(py, -_BIG, _BIG), -1.0)
+    pxr = jnp.round(px).astype(jnp.int32)
+    pyr = jnp.round(py).astype(jnp.int32)
+    in_img = (
+        (pxr >= 0) & (pxr < Wr) & (pyr >= 0) & (pyr < Hr) & vox_valid
+    )
+
+    wx_row = off_x + (
+        jax.lax.broadcasted_iota(jnp.int32, (1, BX), 1).astype(jnp.float32)
+        + x0
+        + 0.5
+    ) * vs_x
+    wyA = off_y + 0.5 * vs_y
+    wyB = off_y + (Y - 0.5) * vs_y
+
+    def _project_row(wy_s):
+        Xr_ = r00 * wx_row + r01 * wy_s + kx
+        Yr_ = r10 * wx_row + r11 * wy_s + ky
+        Zr_ = r20 * wx_row + r21 * wy_s + kz
+        return fx * Xr_ / Zr_ + cx0, fy * Yr_ / Zr_ + cy0
+
+    pxA, pyA = _project_row(wyA)
+    pxB, pyB = _project_row(wyB)
+    denom = pyB - pyA
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    beta = (pxB - pxA) / denom
+    alpha = pxA - beta * pyA
+    beta = jnp.where(jnp.isfinite(beta), jnp.clip(beta, -_BIG, _BIG), 0.0)
+    alpha = jnp.where(
+        jnp.isfinite(alpha), jnp.clip(alpha, -_BIG, _BIG), -_BIG
+    )
+
+    # --- pass 1 over BOTH tables (shared index math) ----------------------
+    y_img = jax.lax.broadcasted_iota(jnp.int32, (Hp, BX), 0).astype(
+        jnp.float32
+    )
+    cf = alpha + beta * y_img
+    c0 = jnp.round(jnp.clip(cf, -_BIG, _BIG)).astype(jnp.int32)
+
+    depth_full = depth_ref[...]
+    rgbp_full = rgbp_ref[...]
+
+    tmps = []  # per k: (depth tmp, rgb tmp)
+    for k in range(nk):
+        ko = k - nk // 2
+        subs_d = []
+        subs_c = []
+        for xsub in range(BX // _LANE):
+            sl = slice(xsub * _LANE, (xsub + 1) * _LANE)
+            idx = c0[:, sl] + ko
+            sub_d = jnp.zeros((Hp, _LANE), jnp.float32)
+            sub_c = jnp.zeros((Hp, _LANE), jnp.float32)
+            for cb in range(Wp // _LANE):
+                local = idx - cb * _LANE
+                valid = (local >= 0) & (local < _LANE)
+                lcl = jnp.clip(local, 0, _LANE - 1)
+                g = jnp.take_along_axis(
+                    depth_full[:, cb * _LANE : (cb + 1) * _LANE], lcl,
+                    axis=1,
+                )
+                gc = jnp.take_along_axis(
+                    rgbp_full[:, cb * _LANE : (cb + 1) * _LANE], lcl,
+                    axis=1,
+                )
+                sub_d = jnp.where(valid, g, sub_d)
+                sub_c = jnp.where(valid, gc, sub_c)
+            subs_d.append(sub_d)
+            subs_c.append(sub_c)
+        tmps.append(
+            (jnp.concatenate(subs_d, axis=1), jnp.concatenate(subs_c, axis=1))
+        )
+
+    # --- pass 2 at the voxel rows + exact-column select -------------------
+    pyr_g = jnp.clip(pyr, 0, Hp - 1)
+    pyrT = pyr_g.T
+    c0r = jnp.round(
+        jnp.clip(alpha + beta * pyr.astype(jnp.float32), -_BIG, _BIG)
+    ).astype(jnp.int32)
+
+    if line_mode:
+        pxr = c0r
+        in_img = (
+            (c0r >= 0) & (c0r < Wr) & (pyr >= 0) & (pyr < Hr) & vox_valid
+        )
+
+    depth_val = jnp.zeros((Y, BX), jnp.float32)
+    rgb_val = jnp.zeros((Y, BX), jnp.float32)
+    matched = jnp.zeros((Y, BX), jnp.bool_)
+    for k in range(nk):
+        ko = k - nk // 2
+        tkT = tmps[k][0].T
+        ckT = tmps[k][1].T
+        vsubs_d = []
+        vsubs_c = []
+        for yvb in range(Y // _LANE):
+            ysl = slice(yvb * _LANE, (yvb + 1) * _LANE)
+            idx = pyrT[:, ysl]
+            sub_d = jnp.zeros((BX, _LANE), jnp.float32)
+            sub_c = jnp.zeros((BX, _LANE), jnp.float32)
+            for cb2 in range(Hp // _LANE):
+                local = idx - cb2 * _LANE
+                valid = (local >= 0) & (local < _LANE)
+                lcl = jnp.clip(local, 0, _LANE - 1)
+                g = jnp.take_along_axis(
+                    tkT[:, cb2 * _LANE : (cb2 + 1) * _LANE], lcl, axis=1
+                )
+                gc = jnp.take_along_axis(
+                    ckT[:, cb2 * _LANE : (cb2 + 1) * _LANE], lcl, axis=1
+                )
+                sub_d = jnp.where(valid, g, sub_d)
+                sub_c = jnp.where(valid, gc, sub_c)
+            vsubs_d.append(sub_d)
+            vsubs_c.append(sub_c)
+        val_k = jnp.concatenate(vsubs_d, axis=1).T
+        col_k = jnp.concatenate(vsubs_c, axis=1).T
+        match_k = (c0r + ko) == pxr
+        depth_val = jnp.where(match_k, val_k, depth_val)
+        rgb_val = jnp.where(match_k, col_k, rgb_val)
+        matched = matched | match_k
+
+    if line_mode:
+        matched = matched & (jnp.abs(beta) <= 1.0)
+
+    # --- TSDF + colour update (identical math to ops/integrate.py) -------
+    d = tsdf_ref[0].astype(jnp.float32)
+    w = weight_ref[0].astype(jnp.float32)
+    sdf = depth_val - Zc
+    update = (
+        in_img & (Zc > 0.0) & matched & (depth_val > 0.0)
+        & (sdf >= -trunc)
+    )
+    tsdf_obs = jnp.minimum(sdf, trunc)
+    new_w = w + 1.0
+    new_d = (d * w + tsdf_obs) / new_w
+    capped_w = jnp.minimum(new_w, max_weight) if cap_weight else new_w
+    out_tsdf_ref[0] = jnp.where(update, new_d, d).astype(
+        out_tsdf_ref.dtype
+    )
+    out_weight_ref[0] = jnp.where(update, capped_w, w).astype(
+        out_weight_ref.dtype
+    )
+
+    # unpack the 24-bit colour (exact in f32)
+    obs_r = jnp.floor(rgb_val / 65536.0)
+    rem = rgb_val - obs_r * 65536.0
+    obs_g = jnp.floor(rem / 256.0)
+    obs_b = rem - obs_g * 256.0
+    col_update = update & (jnp.abs(sdf) < trunc)
+    # ops/integrate.py computes the rate from the (possibly capped) new
+    # weight; match it exactly
+    rate = jnp.maximum(1.0 / capped_w, 1.0 / max_weight)
+    for ref_in, ref_out, obs in (
+        (cr_ref, out_cr_ref, obs_r),
+        (cg_ref, out_cg_ref, obs_g),
+        (cb_ref, out_cb_ref, obs_b),
+    ):
+        old = ref_in[0]
+        blended = old + rate * (obs - old)
+        ref_out[0] = jnp.where(col_update, blended, old)
+
+    miss_count = jnp.sum((in_img & ~matched).astype(jnp.int32))
+    out_miss_ref[0, 0] = jnp.full((8, _LANE), miss_count, jnp.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cap_weight", "nk", "interpret", "mode"),
+)
+def integrate_color_pallas(
+    vol: TSDFVolume,
+    depth: jnp.ndarray,
+    rgb: jnp.ndarray,
+    camera: Camera,
+    cap_weight: bool = False,
+    nk: int = 3,
+    interpret: bool = False,
+    mode: str = "line",
+) -> tuple[TSDFVolume, jnp.ndarray]:
+    """Fuse one depth + colour frame (rigid path) with the Pallas kernel.
+
+    Same exact-or-skip line-warp lookup as ``integrate_pallas``; the RGB
+    frame rides a second 24-bit-packed f32 table through the shared
+    two-pass gather, and colour blends with ops/integrate.py's
+    floored-rate semantics (bit-equal u8 output). The lax colour path is
+    a pathological XLA gather on TPU; this is the production colour
+    fusion.
+
+    Returns (updated volume, miss count).
+    """
+    if mode not in ("exact", "line"):
+        raise ValueError(f"mode must be 'exact' or 'line', got {mode!r}")
+    if mode == "line":
+        nk = 1
+    if vol.deform is not None:
+        raise ValueError("integrate_color_pallas is the rigid path")
+    if vol.color is None:
+        raise ValueError(
+            "volume has no colour field; use make_volume(with_color=True)"
+        )
+    rgb = jnp.asarray(rgb)
+    if rgb.shape[:2] != depth.shape[:2]:
+        raise ValueError(
+            f"colour frame {rgb.shape[:2]} does not match depth "
+            f"{depth.shape[:2]}"
+        )
+    Z, Yr, Xr = vol.tsdf.shape
+    Hr, Wr = depth.shape
+
+    Y = _round_up(Yr, _LANE)
+    X = _round_up(Xr, _LANE)
+    Hp = _round_up(Hr, _LANE)
+    Wp = _round_up(Wr, _LANE)
+
+    depth_f = jnp.asarray(depth, jnp.float32)
+    rgb_f = rgb.astype(jnp.float32)
+    rgbp = (
+        rgb_f[..., 0] * 65536.0 + rgb_f[..., 1] * 256.0 + rgb_f[..., 2]
+    )  # 24-bit packed: exact in f32
+    if (Hp, Wp) != (Hr, Wr):
+        depth_f = jnp.pad(depth_f, ((0, Hp - Hr), (0, Wp - Wr)))
+        rgbp = jnp.pad(rgbp, ((0, Hp - Hr), (0, Wp - Wr)))
+
+    tsdf = vol.tsdf
+    weight = vol.weight
+    cr = vol.color[..., 0].astype(jnp.float32)
+    cg = vol.color[..., 1].astype(jnp.float32)
+    cb = vol.color[..., 2].astype(jnp.float32)
+    if (Y, X) != (Yr, Xr):
+        pad = ((0, 0), (0, Y - Yr), (0, X - Xr))
+        tsdf = jnp.pad(tsdf, pad)
+        weight = jnp.pad(weight, pad)
+        cr = jnp.pad(cr, pad)
+        cg = jnp.pad(cg, pad)
+        cb = jnp.pad(cb, pad)
+
+    BX = min(X, _LANE)
+    n_xb = X // BX
+
+    pose_inv = camera.pose_inv
+    params = jnp.concatenate(
+        [
+            pose_inv[0, 0:4],
+            pose_inv[1, 0:4],
+            pose_inv[2, 0:4],
+            jnp.stack(
+                [
+                    camera.k[0, 0],
+                    camera.k[1, 1],
+                    camera.k[0, 2],
+                    camera.k[1, 2],
+                ]
+            ),
+            vol.offset,
+            vol.voxel_size,
+            jnp.stack(
+                [
+                    vol.truncation_distance.astype(jnp.float32),
+                    vol.max_weight.astype(jnp.float32),
+                ]
+            ),
+        ]
+    ).reshape(1, 24)
+
+    kern = partial(
+        _kernel_color,
+        Y=Y, BX=BX, Hp=Hp, Wp=Wp, Hr=Hr, Wr=Wr, Yr=Yr, Xr=Xr,
+        nk=nk, cap_weight=cap_weight, line_mode=(mode == "line"),
+    )
+
+    vol_spec = pl.BlockSpec(
+        (1, Y, BX), lambda z, xb: (z, 0, xb), memory_space=pltpu.VMEM
+    )
+    img_spec = pl.BlockSpec(
+        (Hp, Wp), lambda z, xb: (0, 0), memory_space=pltpu.VMEM
+    )
+    new_tsdf, new_weight, ncr, ncg, ncb, miss = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((Z, Y, X), vol.tsdf.dtype),
+            jax.ShapeDtypeStruct((Z, Y, X), vol.weight.dtype),
+            jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
+            jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
+            jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
+            jax.ShapeDtypeStruct((Z, n_xb, 8, _LANE), jnp.int32),
+        ),
+        grid=(Z, n_xb),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 24), lambda z, xb: (0, 0), memory_space=pltpu.SMEM
+            ),
+            img_spec,
+            img_spec,
+            vol_spec, vol_spec, vol_spec, vol_spec, vol_spec,
+        ],
+        out_specs=(
+            vol_spec, vol_spec, vol_spec, vol_spec, vol_spec,
+            pl.BlockSpec(
+                (1, 1, 8, _LANE),
+                lambda z, xb: (z, xb, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        interpret=interpret,
+    )(params, depth_f, rgbp, tsdf, weight, cr, cg, cb)
+
+    if (Y, X) != (Yr, Xr):
+        new_tsdf = new_tsdf[:, :Yr, :Xr]
+        new_weight = new_weight[:, :Yr, :Xr]
+        ncr = ncr[:, :Yr, :Xr]
+        ncg = ncg[:, :Yr, :Xr]
+        ncb = ncb[:, :Yr, :Xr]
+
+    new_color = jnp.clip(
+        jnp.round(jnp.stack([ncr, ncg, ncb], axis=-1)), 0, 255
+    ).astype(jnp.uint8)
+    return (
+        vol.replace(tsdf=new_tsdf, weight=new_weight, color=new_color),
+        jnp.sum(miss[:, :, 0, 0]),
+    )
