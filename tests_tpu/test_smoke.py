@@ -212,3 +212,32 @@ def test_raycast_empty_brick_skip_compiled():
     both = hr & hp
     err = np.linalg.norm(np.asarray(vr)[both] - np.asarray(vp)[both], axis=-1)
     assert np.median(err) < 1.0
+
+
+def test_integrate_color_compiled_matches_lax():
+    """Colour-fusing kernel on the chip == lax colour path."""
+    from tsdf_tpu.kernels.integrate import integrate_color_pallas
+
+    vol = make_volume(
+        (64,) * 3, 2000.0, offset=(-1000.0, -1000.0, 0.0),
+        with_color=True,
+    )
+    cam = _cam(off=True)
+    depth = jnp.asarray(
+        fixtures.sphere_depth_map(W, H, 60.0, 800.0, 1600.0)
+    )
+    rng = np.random.default_rng(9)
+    rgb = jnp.asarray(rng.integers(0, 256, size=(H, W, 3)), jnp.uint8)
+    ref = integrate(vol, depth, cam, rgb=rgb)
+    out, miss = integrate_color_pallas(vol, depth, rgb, cam)
+    assert int(miss) == 0
+    np.testing.assert_allclose(
+        np.asarray(out.tsdf), np.asarray(ref.tsdf), atol=5e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.weight), np.asarray(ref.weight)
+    )
+    dc = np.abs(
+        np.asarray(out.color, np.int32) - np.asarray(ref.color, np.int32)
+    )
+    assert dc.max() <= 1
