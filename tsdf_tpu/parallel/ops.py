@@ -109,6 +109,7 @@ def integrate_sharded(
     interpret: bool | None = None,
     return_miss: bool = False,
     mode: str = "line",
+    rgb: jnp.ndarray | None = None,
 ):
     """Brick-parallel depth integration. No collectives in the update
     itself (one psum folds the per-brick miss counters).
@@ -123,6 +124,10 @@ def integrate_sharded(
     psum'd miss count via return_miss and fall back to lax on misses,
     as scenefusion_frame_sharded does).
 
+    Pass ``rgb`` (H, W, 3 u8, replicated) to fuse colour into a
+    with_color volume — the packed two-table colour kernel per brick
+    (rigid Pallas path) or the lax colour path.
+
     Requires vol.tsdf.shape[0] % mesh.shape["b"] == 0.
 
     Returns the updated volume, or (volume, miss_count) when
@@ -133,8 +138,18 @@ def integrate_sharded(
         use_pallas = not has_deform
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if rgb is not None:
+        if vol.color is None:
+            raise ValueError(
+                "rgb frame given but the volume has no colour field"
+            )
+        if has_deform:
+            raise ValueError(
+                "colour fusion is the rigid path (no deformed variant)"
+            )
+        rgb = jnp.asarray(rgb)
     out, miss = _integrate_sharded_jit(
-        vol, jnp.asarray(depth, jnp.float32), camera, mesh=mesh,
+        vol, jnp.asarray(depth, jnp.float32), camera, rgb, mesh=mesh,
         cap_weight=cap_weight, use_pallas=use_pallas, nk=nk,
         interpret=interpret, mode=mode,
     )
@@ -151,6 +166,7 @@ def _integrate_sharded_jit(
     vol: TSDFVolume,
     depth: jnp.ndarray,
     camera: Camera,
+    rgb,
     *,
     mesh: Mesh,
     cap_weight: bool,
@@ -164,16 +180,32 @@ def _integrate_sharded_jit(
     # path ~1000x slower than the kernel it wraps (measured round 2).
     nb = mesh.shape["b"]
     has_deform = vol.deform is not None
+    has_rgb = rgb is not None
 
-    def local(tsdf, weight, deform, depth, k, pose, pose_inv,
+    def local(tsdf, weight, deform, color, depth, rgb, k, pose, pose_inv,
               physical_size, offset, trunc, max_weight):
         lvol = _local_slab_volume(
             tsdf, weight, deform, physical_size, offset, trunc, max_weight,
             nb,
         )
+        if color is not None:
+            lvol = lvol.replace(color=color)
         cam = Camera(
             k=k, k_inv=jnp.linalg.inv(k), pose=pose, pose_inv=pose_inv
         )
+        if has_rgb and use_pallas:
+            from ..kernels.integrate import integrate_color_pallas
+
+            out, miss = integrate_color_pallas(
+                lvol, depth, rgb, cam, cap_weight=cap_weight, nk=nk,
+                interpret=interpret, mode=mode,
+            )
+            miss = jax.lax.psum(miss, "b")
+            return out.tsdf, out.weight, out.color, miss
+        if has_rgb:
+            out = integrate(lvol, depth, cam, cap_weight=cap_weight,
+                            rgb=rgb)
+            return out.tsdf, out.weight, out.color, jnp.int32(0)
         if use_pallas and has_deform:
             from ..kernels.integrate import integrate_warped_pallas
 
@@ -193,7 +225,7 @@ def _integrate_sharded_jit(
         else:
             out = integrate(lvol, depth, cam, cap_weight=cap_weight)
             miss = jnp.int32(0)
-        return out.tsdf, out.weight, miss
+        return out.tsdf, out.weight, None, miss
 
     if has_deform:
         deform_arg = vol.deform
@@ -203,23 +235,34 @@ def _integrate_sharded_jit(
         deform_arg = None
         deform_spec = None
 
+    if has_rgb:
+        color_arg, color_spec = vol.color, P("b")
+        rgb_arg, rgb_spec = rgb, P()
+        color_out_spec = P("b")
+    else:
+        color_arg, color_spec = None, None
+        rgb_arg, rgb_spec = None, None
+        color_out_spec = None
+
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(
-            P("b"), P("b"), deform_spec, P(), P(), P(), P(), P(), P(),
-            P(), P(),
+            P("b"), P("b"), deform_spec, color_spec, P(), rgb_spec,
+            P(), P(), P(), P(), P(), P(), P(),
         ),
-        out_specs=(P("b"), P("b"), P()),
+        out_specs=(P("b"), P("b"), color_out_spec, P()),
         # pallas_call emits ShapeDtypeStructs without vma annotations;
         # varying-mesh-axis checking cannot see through it
         check_vma=False,
     )
-    new_tsdf, new_weight, miss = fn(
+    new_tsdf, new_weight, new_color, miss = fn(
         vol.tsdf,
         vol.weight,
         deform_arg,
+        color_arg,
         depth,
+        rgb_arg,
         camera.k,
         camera.pose,
         camera.pose_inv,
@@ -228,7 +271,10 @@ def _integrate_sharded_jit(
         vol.truncation_distance,
         vol.max_weight,
     )
-    return vol.replace(tsdf=new_tsdf, weight=new_weight), miss
+    out = vol.replace(tsdf=new_tsdf, weight=new_weight)
+    if has_rgb:
+        out = out.replace(color=new_color)
+    return out, miss
 
 
 @partial(
