@@ -81,6 +81,30 @@ def _render_outputs(vol, camera, args):
         print(f"wrote {args.color}")
 
 
+def _parse_mesh(args):
+    """Build the BxR device mesh from --devices, or None. Returns
+    (mesh, error_code): error_code is set when validation failed."""
+    spec = getattr(args, "devices", None)
+    if not spec:
+        return None, None
+    from .parallel import make_mesh
+
+    b, _, r = spec.partition("x")
+    try:
+        nb, nr = int(b), int(r or 1)
+    except ValueError:
+        print(f"--devices must be BxR (got {spec!r})", file=sys.stderr)
+        return None, 1
+    if args.size % nb:
+        print(
+            f"--size {args.size} must be divisible by the brick "
+            f"axis ({nb})",
+            file=sys.stderr,
+        )
+        return None, 1
+    return make_mesh(n_bricks=nb, n_rays=nr), None
+
+
 def _write_mesh(vol, path, max_cubes, max_vertices):
     from .io.ply import write_ply
     from .ops.marching_cubes import extract_surface, soup_to_numpy
@@ -155,19 +179,53 @@ def cmd_fuse(args):
             yield (d, jnp.asarray(pose)) if with_pose else d
 
     if getattr(args, "fuse_color", False):
-        # Colour fusion (GT poses, lax integrate — the capability path;
-        # the reference allocates colours but never fuses them). Streams
-        # (depth, pose, rgb) triples; frames without rgb fuse depth only.
+        # Colour fusion (GT poses — the capability path; the reference
+        # allocates colours but never fuses them). Streams (depth, pose,
+        # rgb) triples; frames without rgb fuse depth only. Composes
+        # with --devices (sharded colour integrate) and --filter;
+        # --track has no colour path yet and errors instead of silently
+        # dropping flags.
         from .ops.integrate import integrate
 
+        if args.track:
+            print(
+                "--fuse-color with --track is not supported (colour "
+                "fuses with GT poses); drop one of the flags",
+                file=sys.stderr,
+            )
+            return 1
+        mesh, err = _parse_mesh(args)
+        if err:
+            return err
+        if mesh is not None:
+            from .parallel.ops import integrate_sharded, shard_volume
+
         vol = vol.with_color()
+        if mesh is not None:
+            vol = shard_volume(vol, mesh)
+        if args.filter:
+            from .ops.bilateral import bilateral_filter
+
         count = 0
         for i, (depth_img, pose, rgb) in enumerate(loader.iter_with_rgb()):
             if i >= n:
                 break
             camera = camera.set_pose(jnp.asarray(pose))
             depth_arr = jnp.asarray(depth_img.data)
-            if args.pallas and rgb is not None:
+            if args.filter:
+                depth_arr = bilateral_filter(depth_arr)
+            rgb_arr = None if rgb is None else jnp.asarray(rgb)
+            if mesh is not None:
+                vol, miss = integrate_sharded(
+                    vol, depth_arr, camera, mesh, rgb=rgb_arr,
+                    return_miss=True,
+                )
+                if int(miss):
+                    vol = integrate_sharded(
+                        vol, depth_arr, camera, mesh, rgb=rgb_arr,
+                        mode="exact", nk=5,
+                    )
+            elif args.pallas and rgb_arr is not None:
                 # production colour path: the packed two-table line-warp
                 # kernel (the lax colour gather is pathological on TPU)
                 import jax
@@ -175,48 +233,37 @@ def cmd_fuse(args):
                 from .kernels.integrate import integrate_color_pallas
 
                 out, miss = integrate_color_pallas(
-                    vol, depth_arr, jnp.asarray(rgb), camera,
+                    vol, depth_arr, rgb_arr, camera,
                     interpret=jax.default_backend() != "tpu",
                 )
                 if int(miss) == 0:
                     vol = out
                 else:  # extreme roll: exact-or-skip fallback
-                    vol = integrate(
-                        vol, depth_arr, camera, rgb=jnp.asarray(rgb)
-                    )
+                    vol = integrate(vol, depth_arr, camera, rgb=rgb_arr)
             else:
-                vol = integrate(
-                    vol,
-                    depth_arr,
-                    camera,
-                    rgb=None if rgb is None else jnp.asarray(rgb),
-                )
+                vol = integrate(vol, depth_arr, camera, rgb=rgb_arr)
             count += 1
+        if mesh is not None:
+            vol = jax.tree.map(np.asarray, vol)
         print(f"fused {count} frames with colour")
     elif getattr(args, "devices", None):
         # Multi-chip fusion: brick-shard the volume over a BxR device
         # mesh and run the sharded pipeline (integrate_sharded /
         # track_and_fuse_frames_sharded) end-to-end.
         import jax
-        import numpy as _np
 
-        from .parallel import make_mesh, shard_volume
         from .parallel.ops import (
             integrate_sharded,
+            shard_volume,
             track_and_fuse_frames_sharded,
+            _warn_sharded_misses,
         )
 
-        b, _, r = args.devices.partition("x")
-        nb, nr = int(b), int(r or 1)
-        if args.size % nb:
-            print(
-                f"--size {args.size} must be divisible by the brick "
-                f"axis ({nb})",
-                file=sys.stderr,
-            )
-            return 1
-        mesh = make_mesh(n_bricks=nb, n_rays=nr)
+        mesh, merr = _parse_mesh(args)
+        if merr:
+            return merr
         vol = shard_volume(vol, mesh)
+        mstr = "x".join(str(v) for v in mesh.devices.shape)
         if args.track:
             camera = camera.set_pose(first_pose)
             vol, camera, poses, stats = track_and_fuse_frames_sharded(
@@ -226,18 +273,23 @@ def cmd_fuse(args):
             )
             err, inl = stats[-1]
             print(
-                f"tracked {len(poses)} frames on {nb}x{nr} mesh; "
+                f"tracked {len(poses)} frames on {mstr} mesh; "
                 f"lastError={float(err):.2f}mm lastInliers={int(inl)}"
             )
         else:
             count = 0
+            miss_log = []
             for depth, pose in stream(True):
                 camera = camera.set_pose(pose)
-                vol = integrate_sharded(vol, depth, camera, mesh)
+                vol, miss = integrate_sharded(
+                    vol, depth, camera, mesh, return_miss=True
+                )
+                miss_log.append(miss)
                 count += 1
-            print(f"fused {count} frames on {nb}x{nr} mesh")
+            _warn_sharded_misses(miss_log)
+            print(f"fused {count} frames on {mstr} mesh")
         # un-shard for the single-device render / mesh / save outputs
-        vol = jax.tree.map(_np.asarray, vol)
+        vol = jax.tree.map(np.asarray, vol)
     elif args.track:
         camera = camera.set_pose(first_pose)
         vol, camera, poses, stats = track_and_fuse_frames(
@@ -253,10 +305,8 @@ def cmd_fuse(args):
         if len(gt_poses) == len(poses) and len(poses) >= 2:
             from .utils.trajectory import ate, rpe
 
-            a = ate([__import__("numpy").asarray(p) for p in poses],
-                    gt_poses)
-            r = rpe([__import__("numpy").asarray(p) for p in poses],
-                    gt_poses)
+            a = ate([np.asarray(p) for p in poses], gt_poses)
+            r = rpe([np.asarray(p) for p in poses], gt_poses)
             print(
                 f"ATE rmse={a['rmse']:.2f}mm median={a['median']:.2f}mm "
                 f"max={a['max']:.2f}mm; RPE trans={r['trans_rmse']:.2f}mm"
@@ -397,20 +447,9 @@ def cmd_sfusion(args):
         offset_mm=(-args.physical / 2, -args.physical / 2, 0.0),
         max_cubes=args.max_cubes,
     )
-    mesh = None
-    if getattr(args, "devices", None):
-        from .parallel import make_mesh
-
-        b, _, r = args.devices.partition("x")
-        nb, nr = int(b), int(r or 1)
-        if args.size % nb:
-            print(
-                f"--size {args.size} must be divisible by the brick "
-                f"axis ({nb})",
-                file=sys.stderr,
-            )
-            return 1
-        mesh = make_mesh(n_bricks=nb, n_rays=nr)
+    mesh, merr = _parse_mesh(args)
+    if merr:
+        return merr
     sf = SceneFusion(sfa, device, cfg, camera=_make_camera(args), mesh=mesh)
     device.start()
     print(f"processed {sf.frame_index} frames")

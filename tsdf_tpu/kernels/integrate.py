@@ -57,6 +57,37 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+def _pack_params(vol: TSDFVolume, camera: Camera) -> jnp.ndarray:
+    """The (1, 24) SMEM parameter row shared by every integrate kernel:
+    pose_inv rows 0-2, intrinsics, offset, voxel size, trunc,
+    max_weight — ONE packing used by the rigid/warped/colour wrappers
+    so the layout cannot drift between them."""
+    pose_inv = camera.pose_inv
+    return jnp.concatenate(
+        [
+            pose_inv[0, 0:4],
+            pose_inv[1, 0:4],
+            pose_inv[2, 0:4],
+            jnp.stack(
+                [
+                    camera.k[0, 0],
+                    camera.k[1, 1],
+                    camera.k[0, 2],
+                    camera.k[1, 2],
+                ]
+            ),
+            vol.offset,
+            vol.voxel_size,
+            jnp.stack(
+                [
+                    vol.truncation_distance.astype(jnp.float32),
+                    vol.max_weight.astype(jnp.float32),
+                ]
+            ),
+        ]
+    ).reshape(1, 24)
+
+
 def _kernel(
     params_ref,  # (1, 24) f32 SMEM
     depth_ref,  # (Hp, Wp) f32 VMEM
@@ -515,30 +546,7 @@ def integrate_pallas(
     BX = min(X, _LANE)
     n_xb = X // BX
 
-    pose_inv = camera.pose_inv
-    params = jnp.concatenate(
-        [
-            pose_inv[0, 0:4],
-            pose_inv[1, 0:4],
-            pose_inv[2, 0:4],
-            jnp.stack(
-                [
-                    camera.k[0, 0],
-                    camera.k[1, 1],
-                    camera.k[0, 2],
-                    camera.k[1, 2],
-                ]
-            ),
-            vol.offset,
-            vol.voxel_size,
-            jnp.stack(
-                [
-                    vol.truncation_distance.astype(jnp.float32),
-                    vol.max_weight.astype(jnp.float32),
-                ]
-            ),
-        ]
-    ).reshape(1, 24)
+    params = _pack_params(vol, camera)
 
     kern = partial(
         _kernel,
@@ -652,30 +660,7 @@ def integrate_warped_pallas(
     BX = min(X, _LANE)
     n_xb = X // BX
 
-    pose_inv = camera.pose_inv
-    params = jnp.concatenate(
-        [
-            pose_inv[0, 0:4],
-            pose_inv[1, 0:4],
-            pose_inv[2, 0:4],
-            jnp.stack(
-                [
-                    camera.k[0, 0],
-                    camera.k[1, 1],
-                    camera.k[0, 2],
-                    camera.k[1, 2],
-                ]
-            ),
-            vol.offset,
-            vol.voxel_size,
-            jnp.stack(
-                [
-                    vol.truncation_distance.astype(jnp.float32),
-                    vol.max_weight.astype(jnp.float32),
-                ]
-            ),
-        ]
-    ).reshape(1, 24)
+    params = _pack_params(vol, camera)
 
     kern = partial(
         _kernel_warped,
@@ -784,6 +769,11 @@ def _kernel_color(
     line_mode: bool = False,
 ):
     """Colour-fusing variant of ``_kernel``: the RGB frame rides a second
+    table. NOTE: the projection / line-fit / two-pass gather blocks are
+    textual twins of ``_kernel``'s — any fix to the candidate-column or
+    rounding logic there MUST be applied here too (equality tests vs the
+    lax path gate both).
+
     f32 table (24-bit packed, exact) through the SAME two-pass line-warp
     lookup — the index math, candidate membership masks and match select
     are shared, so colour costs one extra gather per pass, not a second
@@ -1061,30 +1051,7 @@ def integrate_color_pallas(
     BX = min(X, _LANE)
     n_xb = X // BX
 
-    pose_inv = camera.pose_inv
-    params = jnp.concatenate(
-        [
-            pose_inv[0, 0:4],
-            pose_inv[1, 0:4],
-            pose_inv[2, 0:4],
-            jnp.stack(
-                [
-                    camera.k[0, 0],
-                    camera.k[1, 1],
-                    camera.k[0, 2],
-                    camera.k[1, 2],
-                ]
-            ),
-            vol.offset,
-            vol.voxel_size,
-            jnp.stack(
-                [
-                    vol.truncation_distance.astype(jnp.float32),
-                    vol.max_weight.astype(jnp.float32),
-                ]
-            ),
-        ]
-    ).reshape(1, 24)
+    params = _pack_params(vol, camera)
 
     kern = partial(
         _kernel_color,

@@ -633,6 +633,7 @@ def track_and_fuse_frames_sharded(
     intr = jnp.stack([k[0, 0], k[1, 1], k[0, 2], k[1, 2]])
 
     poses, stats = [], []
+    miss_log = []
     first = True
     for depth in frames:
         depth = jnp.asarray(depth, jnp.float32)
@@ -656,9 +657,33 @@ def track_and_fuse_frames_sharded(
         else:
             stats.append((jnp.array(0.0), jnp.array(0.0)))
             first = False
-        vol = integrate_sharded(vol, depth, camera, mesh, nk=nk)
+        vol, miss = integrate_sharded(
+            vol, depth, camera, mesh, nk=nk, return_miss=True
+        )
+        miss_log.append(miss)
         poses.append(camera.pose)
+    _warn_sharded_misses(miss_log)
     return vol, camera, poses, stats
+
+
+def _warn_sharded_misses(miss_log) -> None:
+    """One deferred sync over a sharded run's exact-or-skip miss
+    counters (the mesh analogue of pipelines/kinfu.py:_check_misses):
+    nonzero means in-frustum voxels lost observations and the run should
+    use mode='exact' with a larger nk (or the lax path)."""
+    if not miss_log:
+        return
+    total = sum(int(m) for m in miss_log)
+    if total:
+        import warnings
+
+        warnings.warn(
+            f"{total} voxel observations were skipped by the "
+            "exact-or-skip integrate across the sharded run (extreme "
+            "camera roll); re-run with mode='exact' and nk=5, or "
+            "use_pallas=False",
+            stacklevel=2,
+        )
 
 
 def extract_surface_sharded(
@@ -735,10 +760,14 @@ def merge_brick_soups(brick_soups):
         raise ValueError(
             "a brick overflowed; raise max_cubes/max_vertices_per_brick"
         )
+    # one D2H each — per-brick np.asarray would re-transfer the stacked
+    # buffer once per brick through the remote tunnel
+    verts_np = np.asarray(verts_b)
+    n_np = np.asarray(n_b)
     parts = []
-    for b in range(np.asarray(verts_b).shape[0]):
-        n = int(np.asarray(n_b)[b])
-        parts.append(np.asarray(verts_b)[b, :n])
+    for b in range(verts_np.shape[0]):
+        n = int(n_np[b])
+        parts.append(verts_np[b, :n])
     verts = np.concatenate(parts, axis=0)
     n = len(verts) - len(verts) % 3
     verts = verts[:n]
@@ -782,7 +811,7 @@ def update_deformation_sharded(
         threshold_mm = CORRESPONDENCE_THRESHOLD_MM
     if tpu_safe is None:
         tpu_safe = jax.default_backend() == "tpu"
-    new_deform, n_corr = _update_deformation_sharded_jit(
+    new_deform, n_corr, overflow = _update_deformation_sharded_jit(
         vol.tsdf,
         vol.deform,
         jnp.asarray(depth, jnp.float32),
@@ -796,13 +825,42 @@ def update_deformation_sharded(
         threshold_mm=float(threshold_mm),
         tpu_safe=tpu_safe,
     )
+    if tpu_safe and bool(overflow):
+        # chunked-compaction cap truncated some brick's cube list: redo
+        # through the full-volume sort compaction (exact-or-skip — the
+        # same fallback the single-device orchestrator takes)
+        new_deform, n_corr, overflow = _update_deformation_sharded_jit(
+            vol.tsdf,
+            vol.deform,
+            jnp.asarray(depth, jnp.float32),
+            jnp.asarray(flow, jnp.float32),
+            camera,
+            vol.physical_size,
+            vol.offset,
+            vol.voxel_size,
+            mesh=mesh,
+            max_cubes_per_brick=max_cubes_per_brick,
+            threshold_mm=float(threshold_mm),
+            tpu_safe=tpu_safe,
+            use_chunked=False,
+        )
+    if bool(overflow):
+        import warnings
+
+        warnings.warn(
+            "update_deformation_sharded: a brick's occupied cubes "
+            f"exceed max_cubes_per_brick={max_cubes_per_brick}; the "
+            "deformation update was truncated — raise the cap",
+            stacklevel=2,
+        )
     return vol.replace(deform=new_deform), n_corr
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "mesh", "max_cubes_per_brick", "threshold_mm", "tpu_safe"
+        "mesh", "max_cubes_per_brick", "threshold_mm", "tpu_safe",
+        "use_chunked",
     ),
 )
 def _update_deformation_sharded_jit(
@@ -819,6 +877,7 @@ def _update_deformation_sharded_jit(
     max_cubes_per_brick: int,
     threshold_mm: float,
     tpu_safe: bool,
+    use_chunked: bool = True,
 ):
     from ..ops.marching_cubes import _MAX_V, _extract_arrays
     from ..pipelines.scenefusion import (
@@ -854,7 +913,11 @@ def _update_deformation_sharded_jit(
             layout="masked",
             tpu_safe=tpu_safe,
             return_cube_slots=True,
+            use_chunked=use_chunked,
         )
+        overflow = jax.lax.psum(
+            soup.overflowed.astype(jnp.int32), "b"
+        ) > 0
         corr, flow_at_vert = _slot_correspondence(
             soup.vertices, soup.valid, depth, cam, flow, threshold_mm
         )
@@ -883,20 +946,20 @@ def _update_deformation_sharded_jit(
         counts = own[0]
         delta = own[1:4] / jnp.maximum(counts, 1.0)[None, :]
         new_local = deform_local + delta.T.reshape(zl, Y, X, 3)
-        return new_local, n_corr[None]
+        return new_local, n_corr[None], overflow[None]
 
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(P("b"), P("b"), P(), P(), P(), P(), P()),
-        out_specs=(P("b"), P("b")),
+        out_specs=(P("b"), P("b"), P("b")),
         check_vma=False,
     )
-    new_deform, n_corr_b = fn(
+    new_deform, n_corr_b, overflow_b = fn(
         ext, deform, depth, flow, camera, voxel_size, offset
     )
     # every brick psum'd the same total; "b"-stacked copies are equal
-    return new_deform, n_corr_b[0]
+    return new_deform, n_corr_b[0], overflow_b[0]
 
 
 def scenefusion_frame_sharded(

@@ -92,7 +92,12 @@ def _slot_correspondence(
     in_img = (px >= 0) & (px < w) & (py >= 0) & (py < h) & slot_valid
     lin = jnp.clip(py, 0, h - 1) * w + jnp.clip(px, 0, w - 1)
 
-    # one fused image gather: [depth, flow] as 4 channels per pixel
+    # one fused image gather: [depth, flow] as 4 channels per pixel.
+    # The slot buffer is a static cap (max_cubes * 24 slots, ~6.3M at
+    # the 255^3 default) but live cubes are a compacted prefix, so the
+    # gather walks 64k-slot blocks and stops at the last live slot —
+    # cost tracks the actual surface, not the cap (XLA:TPU gathers are
+    # ~0.11 G lookups/s; the cap alone would be ~50 ms/frame).
     img = jnp.concatenate(
         [
             depth.reshape(-1, 1),
@@ -100,7 +105,33 @@ def _slot_correspondence(
         ],
         axis=-1,
     )
-    g = jnp.take(img, lin, axis=0, mode="clip")  # (N, 4)
+    N = lin.shape[0]
+    n_live = jnp.max(
+        jnp.where(slot_valid, jnp.arange(N, dtype=jnp.int32) + 1, 0)
+    )
+    BLK = 1 << 16
+    if N <= BLK:
+        g = jnp.take(img, lin, axis=0, mode="clip")  # (N, 4)
+    else:
+        nb = -(-N // BLK)
+        linp = jnp.pad(lin, (0, nb * BLK - N))
+
+        def cond(st):
+            b, _ = st
+            return b * BLK < n_live
+
+        def body(st):
+            b, out = st
+            lw = jax.lax.dynamic_slice(linp, (b * BLK,), (BLK,))
+            gb = jnp.take(img, lw, axis=0, mode="clip")
+            return b + 1, jax.lax.dynamic_update_slice(
+                out, gb, (b * BLK, 0)
+            )
+
+        _, gp = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.zeros((nb * BLK, 4), jnp.float32))
+        )
+        g = gp[:N]
     d = g[:, 0]
     # Compare CAMERA-space depth (the reference's depth-only distance,
     # ref: SceneFusion_krnl.cu:100-105, where the camera frame is the
@@ -450,12 +481,7 @@ class SceneFusion:
                         self.volume, depth, self.camera, self.mesh
                     )
                 self.volume = out
-            self.last_depth = depth
-            if self.dump_every and self.frame_index % self.dump_every == 0:
-                self.dump(self.frame_index)
-            self.frame_index += 1
-            return
-        if self.last_depth is not None and cfg.use_pallas:
+        elif self.last_depth is not None and cfg.use_pallas:
             _t, _r, flow = self.sfa.compute_scene_flow(depth, colour)
             tpu_safe = jax.default_backend() == "tpu"
             vol, miss, _n, overflow = _sf_step_pallas(
