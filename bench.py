@@ -129,6 +129,51 @@ def main():
     rays_per_s = width * height / dt_ray
     _note(f"raycast done: {dt_ray*1e3:.1f} ms")
 
+    # Deep-scene raycast (config-1-like: far wall at z=2500, rays sweep
+    # most of the volume): exercises the exact empty-brick skip.
+    dt_deep = None
+    try:
+        wall2 = fixtures.wall_tsdf(vol2, 2500.0)
+        deep = vol2.replace(
+            tsdf=jnp.minimum(vol2.tsdf, wall2.tsdf),
+            weight=jnp.ones_like(vol2.weight),
+        )
+        _note("raycast deep-scene warmup/compile")
+        dt_deep = _bench(ray_fn, deep, cam2)
+        _note(f"raycast deep done: {dt_deep*1e3:.1f} ms")
+    except Exception as e:
+        _note(f"raycast deep failed: {type(e).__name__}: {e}")
+
+    # Colour integrate (depth + packed-RGB two-table kernel).
+    dt_cint = None
+    try:
+        from tsdf_tpu.kernels.integrate import integrate_color_pallas
+
+        volc = make_volume(
+            (grid, grid, grid), 3000.0, offset=(-1500.0, -1500.0, 0.0),
+            with_color=True,
+        )
+        ys = jnp.arange(height, dtype=jnp.uint8)[:, None]
+        xs = jnp.arange(width, dtype=jnp.uint8)[None, :]
+        rgb = jnp.stack(
+            [
+                jnp.broadcast_to(ys, (height, width)),
+                jnp.broadcast_to(xs, (height, width)),
+                jnp.full((height, width), 128, jnp.uint8),
+            ],
+            axis=-1,
+        )
+
+        def cint_fn(v):
+            out, _m = integrate_color_pallas(v, depth, rgb, camera)
+            return out.weight
+
+        _note("colour integrate warmup/compile")
+        dt_cint = _bench(cint_fn, volc)
+        _note(f"colour integrate done: {dt_cint*1e3:.1f} ms")
+    except Exception as e:
+        _note(f"colour integrate failed: {type(e).__name__}: {e}")
+
     # Full tracked KinectFusion loop (bilateral + banded ICP vs model
     # render + integrate) at 256^3 — the BASELINE config-3 shape.
     kinfu_ms = None
@@ -271,6 +316,12 @@ def main():
                     "integrate_ms": dt_int * 1e3,
                     "raycast_ms": dt_ray * 1e3,
                     "rays_per_s": rays_per_s,
+                    "raycast_deep_ms": (
+                        dt_deep * 1e3 if dt_deep else None
+                    ),
+                    "integrate_color_ms": (
+                        dt_cint * 1e3 if dt_cint else None
+                    ),
                     "kinfu_tracked_ms_256": kinfu_ms,
                     "scenefusion_ms_255": sf_ms,
                     "grid": grid,
