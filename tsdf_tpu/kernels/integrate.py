@@ -88,6 +88,100 @@ def _pack_params(vol: TSDFVolume, camera: Camera) -> jnp.ndarray:
     ).reshape(1, 24)
 
 
+def _fit_column_lines(
+    r00, r01, r10, r11, r20, r21, kx, ky, kz, fx, fy, cx0, cy0,
+    wx_row, wyA, wyB,
+):
+    """Per-column image line px = alpha + beta * py (1, BX): every voxel
+    column (fixed x, varying y) projects to a straight image line; fit
+    it from the first/last row's projections. Shared by the rigid,
+    warped and colour kernels — the line IS the candidate-table axis."""
+    def _project_row(wy_s):
+        Xr_ = r00 * wx_row + r01 * wy_s + kx
+        Yr_ = r10 * wx_row + r11 * wy_s + ky
+        Zr_ = r20 * wx_row + r21 * wy_s + kz
+        return fx * Xr_ / Zr_ + cx0, fy * Yr_ / Zr_ + cy0
+
+    pxA, pyA = _project_row(wyA)
+    pxB, pyB = _project_row(wyB)
+    denom = pyB - pyA
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    beta = (pxB - pxA) / denom
+    alpha = pxA - beta * pyA
+    beta = jnp.where(jnp.isfinite(beta), jnp.clip(beta, -_BIG, _BIG), 0.0)
+    alpha = jnp.where(
+        jnp.isfinite(alpha), jnp.clip(alpha, -_BIG, _BIG), -_BIG
+    )
+    return alpha, beta
+
+
+def _pass1_gather(tables, c0, nk, BX, Hp, Wp):
+    """Pass 1 of the line-warp lookup for N tables sharing the index
+    math: tmps[k][t][y_img, x] = tables[t][y_img, c0[y_img, x] + ko],
+    ko = k - nk//2. Lane-gathers over 128-column blocks (the one Mosaic
+    dynamic_gather shape); extra tables cost one extra gather per block,
+    not a second sweep."""
+    tmps = []
+    for k in range(nk):
+        ko = k - nk // 2
+        subs = [[] for _ in tables]
+        for xsub in range(BX // _LANE):
+            sl = slice(xsub * _LANE, (xsub + 1) * _LANE)
+            idx = c0[:, sl] + ko  # (Hp, 128)
+            accs = [jnp.zeros((Hp, _LANE), jnp.float32) for _ in tables]
+            for cb in range(Wp // _LANE):
+                local = idx - cb * _LANE
+                valid = (local >= 0) & (local < _LANE)
+                lcl = jnp.clip(local, 0, _LANE - 1)
+                for t, tab in enumerate(tables):
+                    g = jnp.take_along_axis(
+                        tab[:, cb * _LANE : (cb + 1) * _LANE], lcl, axis=1
+                    )
+                    accs[t] = jnp.where(valid, g, accs[t])
+            for t in range(len(tables)):
+                subs[t].append(accs[t])
+        tmps.append(tuple(jnp.concatenate(sb, axis=1) for sb in subs))
+    return tmps
+
+
+def _pass2_select(tmps, pyrT, pxr, c0r, nk, BX, Y, Hp):
+    """Pass 2 + exact-column select for N tables: gather each candidate
+    table at the per-voxel row, keep the candidate whose column equals
+    the per-voxel target column. Returns ([vals per table], matched)."""
+    n_tab = len(tmps[0])
+    vals = [jnp.zeros((Y, BX), jnp.float32) for _ in range(n_tab)]
+    matched = jnp.zeros((Y, BX), jnp.bool_)
+    for k in range(nk):
+        ko = k - nk // 2
+        tkTs = [tmps[k][t].T for t in range(n_tab)]
+        vsubs = [[] for _ in range(n_tab)]
+        for yvb in range(Y // _LANE):
+            ysl = slice(yvb * _LANE, (yvb + 1) * _LANE)
+            idx = pyrT[:, ysl]  # (BX, 128), values in [0, Hp)
+            accs = [
+                jnp.zeros((BX, _LANE), jnp.float32) for _ in range(n_tab)
+            ]
+            for cb2 in range(Hp // _LANE):
+                local = idx - cb2 * _LANE
+                valid = (local >= 0) & (local < _LANE)
+                lcl = jnp.clip(local, 0, _LANE - 1)
+                for t in range(n_tab):
+                    g = jnp.take_along_axis(
+                        tkTs[t][:, cb2 * _LANE : (cb2 + 1) * _LANE],
+                        lcl,
+                        axis=1,
+                    )
+                    accs[t] = jnp.where(valid, g, accs[t])
+            for t in range(n_tab):
+                vsubs[t].append(accs[t])
+        match_k = (c0r + ko) == pxr
+        for t in range(n_tab):
+            val_k = jnp.concatenate(vsubs[t], axis=1).T  # (Y, BX)
+            vals[t] = jnp.where(match_k, val_k, vals[t])
+        matched = matched | match_k
+    return vals, matched
+
+
 def _kernel(
     params_ref,  # (1, 24) f32 SMEM
     depth_ref,  # (Hp, Wp) f32 VMEM
@@ -159,24 +253,9 @@ def _kernel(
     ) * vs_x
     wyA = off_y + 0.5 * vs_y
     wyB = off_y + (Y - 0.5) * vs_y
-
-    def _project_row(wy_s):
-        Xr = r00 * wx_row + r01 * wy_s + kx
-        Yr = r10 * wx_row + r11 * wy_s + ky
-        Zr = r20 * wx_row + r21 * wy_s + kz
-        pxa = fx * Xr / Zr + cx0
-        pya = fy * Yr / Zr + cy0
-        return pxa, pya
-
-    pxA, pyA = _project_row(wyA)
-    pxB, pyB = _project_row(wyB)
-    denom = pyB - pyA
-    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-    beta = (pxB - pxA) / denom
-    alpha = pxA - beta * pyA
-    beta = jnp.where(jnp.isfinite(beta), jnp.clip(beta, -_BIG, _BIG), 0.0)
-    alpha = jnp.where(
-        jnp.isfinite(alpha), jnp.clip(alpha, -_BIG, _BIG), -_BIG
+    alpha, beta = _fit_column_lines(
+        r00, r01, r10, r11, r20, r21, kx, ky, kz, fx, fy, cx0, cy0,
+        wx_row, wyA, wyB,
     )
 
     # --- pass 1: tmp_k[y_img, x] = depth[y_img, c0 + ko] -----------------
@@ -187,26 +266,7 @@ def _kernel(
     c0 = jnp.round(jnp.clip(cf, -_BIG, _BIG)).astype(jnp.int32)
 
     depth_full = depth_ref[...]  # (Hp, Wp)
-
-    tmps = []
-    for k in range(nk):
-        ko = k - nk // 2
-        subs = []
-        for xsub in range(BX // _LANE):
-            sl = slice(xsub * _LANE, (xsub + 1) * _LANE)
-            idx = c0[:, sl] + ko  # (Hp, 128)
-            sub = jnp.zeros((Hp, _LANE), jnp.float32)
-            for cb in range(Wp // _LANE):
-                local = idx - cb * _LANE
-                valid = (local >= 0) & (local < _LANE)
-                g = jnp.take_along_axis(
-                    depth_full[:, cb * _LANE : (cb + 1) * _LANE],
-                    jnp.clip(local, 0, _LANE - 1),
-                    axis=1,
-                )
-                sub = jnp.where(valid, g, sub)
-            subs.append(sub)
-        tmps.append(jnp.concatenate(subs, axis=1))  # (Hp, BX)
+    tmps = _pass1_gather((depth_full,), c0, nk, BX, Hp, Wp)
 
     # --- pass 2: val_k[y, x] = tmp_k[pyr, x], then exact-column select ---
     pyr_g = jnp.clip(pyr, 0, Hp - 1)  # gather-safe row index
@@ -229,30 +289,9 @@ def _kernel(
             (c0r >= 0) & (c0r < Wr) & (pyr >= 0) & (pyr < Hr) & vox_valid
         )
 
-    depth_val = jnp.zeros((Y, BX), jnp.float32)
-    matched = jnp.zeros((Y, BX), jnp.bool_)
-    for k in range(nk):
-        ko = k - nk // 2
-        tkT = tmps[k].T  # (BX, Hp)
-        vsubs = []
-        for yvb in range(Y // _LANE):
-            ysl = slice(yvb * _LANE, (yvb + 1) * _LANE)
-            idx = pyrT[:, ysl]  # (BX, 128), values in [0, Hp)
-            sub = jnp.zeros((BX, _LANE), jnp.float32)
-            for cb2 in range(Hp // _LANE):
-                local = idx - cb2 * _LANE
-                valid = (local >= 0) & (local < _LANE)
-                g = jnp.take_along_axis(
-                    tkT[:, cb2 * _LANE : (cb2 + 1) * _LANE],
-                    jnp.clip(local, 0, _LANE - 1),
-                    axis=1,
-                )
-                sub = jnp.where(valid, g, sub)
-            vsubs.append(sub)
-        val_k = jnp.concatenate(vsubs, axis=1).T  # (Y, BX)
-        match_k = (c0r + ko) == pxr
-        depth_val = jnp.where(match_k, val_k, depth_val)
-        matched = matched | match_k
+    (depth_val,), matched = _pass2_select(
+        tmps, pyrT, pxr, c0r, nk, BX, Y, Hp
+    )
 
     if line_mode:
         # steep lines (|beta| > 1, extreme roll) fall outside the
@@ -369,21 +408,9 @@ def _kernel_warped(
     wyA = off_y + 0.5 * vs_y
     wyB = off_y + (Y - 0.5) * vs_y
 
-    def _project_row(wy_s):
-        Xr_ = r00 * wx_row + r01 * wy_s + kx
-        Yr_ = r10 * wx_row + r11 * wy_s + ky
-        Zr_ = r20 * wx_row + r21 * wy_s + kz
-        return fx * Xr_ / Zr_ + cx0, fy * Yr_ / Zr_ + cy0
-
-    pxA, pyA = _project_row(wyA)
-    pxB, pyB = _project_row(wyB)
-    denom = pyB - pyA
-    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-    beta = (pxB - pxA) / denom
-    alpha = pxA - beta * pyA
-    beta = jnp.where(jnp.isfinite(beta), jnp.clip(beta, -_BIG, _BIG), 0.0)
-    alpha = jnp.where(
-        jnp.isfinite(alpha), jnp.clip(alpha, -_BIG, _BIG), -_BIG
+    alpha, beta = _fit_column_lines(
+        r00, r01, r10, r11, r20, r21, kx, ky, kz, fx, fy, cx0, cy0,
+        wx_row, wyA, wyB,
     )
 
     # --- pass 1 (identical to the rigid kernel) --------------------------
@@ -394,25 +421,7 @@ def _kernel_warped(
         jnp.int32
     )
     depth_full = depth_ref[...]
-    tmps = []
-    for k in range(nk):
-        ko = k - nk // 2
-        subs = []
-        for xsub in range(BX // _LANE):
-            sl = slice(xsub * _LANE, (xsub + 1) * _LANE)
-            idx = c0[:, sl] + ko
-            sub = jnp.zeros((Hp, _LANE), jnp.float32)
-            for cb in range(Wp // _LANE):
-                local = idx - cb * _LANE
-                valid = (local >= 0) & (local < _LANE)
-                g = jnp.take_along_axis(
-                    depth_full[:, cb * _LANE : (cb + 1) * _LANE],
-                    jnp.clip(local, 0, _LANE - 1),
-                    axis=1,
-                )
-                sub = jnp.where(valid, g, sub)
-            subs.append(sub)
-        tmps.append(jnp.concatenate(subs, axis=1))
+    tmps = _pass1_gather((depth_full,), c0, nk, BX, Hp, Wp)
 
     # --- pass 2 at the WARPED rows + exact-column select -----------------
     pyr_g = jnp.clip(pyr, 0, Hp - 1)
@@ -421,30 +430,9 @@ def _kernel_warped(
         jnp.clip(alpha + beta * pyr.astype(jnp.float32), -_BIG, _BIG)
     ).astype(jnp.int32)
 
-    depth_val = jnp.zeros((Y, BX), jnp.float32)
-    matched = jnp.zeros((Y, BX), jnp.bool_)
-    for k in range(nk):
-        ko = k - nk // 2
-        tkT = tmps[k].T
-        vsubs = []
-        for yvb in range(Y // _LANE):
-            ysl = slice(yvb * _LANE, (yvb + 1) * _LANE)
-            idx = pyrT[:, ysl]
-            sub = jnp.zeros((BX, _LANE), jnp.float32)
-            for cb2 in range(Hp // _LANE):
-                local = idx - cb2 * _LANE
-                valid = (local >= 0) & (local < _LANE)
-                g = jnp.take_along_axis(
-                    tkT[:, cb2 * _LANE : (cb2 + 1) * _LANE],
-                    jnp.clip(local, 0, _LANE - 1),
-                    axis=1,
-                )
-                sub = jnp.where(valid, g, sub)
-            vsubs.append(sub)
-        val_k = jnp.concatenate(vsubs, axis=1).T
-        match_k = (c0r + ko) == pxr
-        depth_val = jnp.where(match_k, val_k, depth_val)
-        matched = matched | match_k
+    (depth_val,), matched = _pass2_select(
+        tmps, pyrT, pxr, c0r, nk, BX, Y, Hp
+    )
 
     # --- the TSDF update (identical math) --------------------------------
     d = tsdf_ref[0].astype(jnp.float32)
@@ -769,10 +757,9 @@ def _kernel_color(
     line_mode: bool = False,
 ):
     """Colour-fusing variant of ``_kernel``: the RGB frame rides a second
-    table. NOTE: the projection / line-fit / two-pass gather blocks are
-    textual twins of ``_kernel``'s — any fix to the candidate-column or
-    rounding logic there MUST be applied here too (equality tests vs the
-    lax path gate both).
+    table through the SHARED ``_pass1_gather``/``_pass2_select``/
+    ``_fit_column_lines`` machinery (one lookup implementation for the
+    rigid/warped/colour kernels).
 
     f32 table (24-bit packed, exact) through the SAME two-pass line-warp
     lookup — the index math, candidate membership masks and match select
@@ -828,21 +815,9 @@ def _kernel_color(
     wyA = off_y + 0.5 * vs_y
     wyB = off_y + (Y - 0.5) * vs_y
 
-    def _project_row(wy_s):
-        Xr_ = r00 * wx_row + r01 * wy_s + kx
-        Yr_ = r10 * wx_row + r11 * wy_s + ky
-        Zr_ = r20 * wx_row + r21 * wy_s + kz
-        return fx * Xr_ / Zr_ + cx0, fy * Yr_ / Zr_ + cy0
-
-    pxA, pyA = _project_row(wyA)
-    pxB, pyB = _project_row(wyB)
-    denom = pyB - pyA
-    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-    beta = (pxB - pxA) / denom
-    alpha = pxA - beta * pyA
-    beta = jnp.where(jnp.isfinite(beta), jnp.clip(beta, -_BIG, _BIG), 0.0)
-    alpha = jnp.where(
-        jnp.isfinite(alpha), jnp.clip(alpha, -_BIG, _BIG), -_BIG
+    alpha, beta = _fit_column_lines(
+        r00, r01, r10, r11, r20, r21, kx, ky, kz, fx, fy, cx0, cy0,
+        wx_row, wyA, wyB,
     )
 
     # --- pass 1 over BOTH tables (shared index math) ----------------------
@@ -854,36 +829,7 @@ def _kernel_color(
 
     depth_full = depth_ref[...]
     rgbp_full = rgbp_ref[...]
-
-    tmps = []  # per k: (depth tmp, rgb tmp)
-    for k in range(nk):
-        ko = k - nk // 2
-        subs_d = []
-        subs_c = []
-        for xsub in range(BX // _LANE):
-            sl = slice(xsub * _LANE, (xsub + 1) * _LANE)
-            idx = c0[:, sl] + ko
-            sub_d = jnp.zeros((Hp, _LANE), jnp.float32)
-            sub_c = jnp.zeros((Hp, _LANE), jnp.float32)
-            for cb in range(Wp // _LANE):
-                local = idx - cb * _LANE
-                valid = (local >= 0) & (local < _LANE)
-                lcl = jnp.clip(local, 0, _LANE - 1)
-                g = jnp.take_along_axis(
-                    depth_full[:, cb * _LANE : (cb + 1) * _LANE], lcl,
-                    axis=1,
-                )
-                gc = jnp.take_along_axis(
-                    rgbp_full[:, cb * _LANE : (cb + 1) * _LANE], lcl,
-                    axis=1,
-                )
-                sub_d = jnp.where(valid, g, sub_d)
-                sub_c = jnp.where(valid, gc, sub_c)
-            subs_d.append(sub_d)
-            subs_c.append(sub_c)
-        tmps.append(
-            (jnp.concatenate(subs_d, axis=1), jnp.concatenate(subs_c, axis=1))
-        )
+    tmps = _pass1_gather((depth_full, rgbp_full), c0, nk, BX, Hp, Wp)
 
     # --- pass 2 at the voxel rows + exact-column select -------------------
     pyr_g = jnp.clip(pyr, 0, Hp - 1)
@@ -898,40 +844,9 @@ def _kernel_color(
             (c0r >= 0) & (c0r < Wr) & (pyr >= 0) & (pyr < Hr) & vox_valid
         )
 
-    depth_val = jnp.zeros((Y, BX), jnp.float32)
-    rgb_val = jnp.zeros((Y, BX), jnp.float32)
-    matched = jnp.zeros((Y, BX), jnp.bool_)
-    for k in range(nk):
-        ko = k - nk // 2
-        tkT = tmps[k][0].T
-        ckT = tmps[k][1].T
-        vsubs_d = []
-        vsubs_c = []
-        for yvb in range(Y // _LANE):
-            ysl = slice(yvb * _LANE, (yvb + 1) * _LANE)
-            idx = pyrT[:, ysl]
-            sub_d = jnp.zeros((BX, _LANE), jnp.float32)
-            sub_c = jnp.zeros((BX, _LANE), jnp.float32)
-            for cb2 in range(Hp // _LANE):
-                local = idx - cb2 * _LANE
-                valid = (local >= 0) & (local < _LANE)
-                lcl = jnp.clip(local, 0, _LANE - 1)
-                g = jnp.take_along_axis(
-                    tkT[:, cb2 * _LANE : (cb2 + 1) * _LANE], lcl, axis=1
-                )
-                gc = jnp.take_along_axis(
-                    ckT[:, cb2 * _LANE : (cb2 + 1) * _LANE], lcl, axis=1
-                )
-                sub_d = jnp.where(valid, g, sub_d)
-                sub_c = jnp.where(valid, gc, sub_c)
-            vsubs_d.append(sub_d)
-            vsubs_c.append(sub_c)
-        val_k = jnp.concatenate(vsubs_d, axis=1).T
-        col_k = jnp.concatenate(vsubs_c, axis=1).T
-        match_k = (c0r + ko) == pxr
-        depth_val = jnp.where(match_k, val_k, depth_val)
-        rgb_val = jnp.where(match_k, col_k, rgb_val)
-        matched = matched | match_k
+    (depth_val, rgb_val), matched = _pass2_select(
+        tmps, pyrT, pxr, c0r, nk, BX, Y, Hp
+    )
 
     if line_mode:
         matched = matched & (jnp.abs(beta) <= 1.0)
