@@ -11,11 +11,13 @@ these kernels restructure the memory access into the per-vreg
 from .integrate import (
     integrate_auto,
     integrate_pallas,
+    integrate_color_pallas,
     integrate_warped_pallas,
 )
 
 __all__ = [
     "integrate_pallas",
     "integrate_auto",
+    "integrate_color_pallas",
     "integrate_warped_pallas",
 ]

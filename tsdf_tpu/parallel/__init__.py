@@ -16,12 +16,16 @@ Mesh axes:
 
 from .mesh import make_mesh, volume_sharding, replicated
 from .ops import (
+    extract_surface_sharded,
     get_incremental_transformation_sharded,
     integrate_sharded,
+    merge_brick_soups,
     raycast_sharded,
     raycast_sharded_bricked,
+    scenefusion_frame_sharded,
     shard_volume,
     track_and_fuse_frames_sharded,
+    update_deformation_sharded,
 )
 
 __all__ = [
@@ -34,4 +38,8 @@ __all__ = [
     "raycast_sharded_bricked",
     "get_incremental_transformation_sharded",
     "track_and_fuse_frames_sharded",
+    "extract_surface_sharded",
+    "merge_brick_soups",
+    "update_deformation_sharded",
+    "scenefusion_frame_sharded",
 ]
