@@ -418,3 +418,32 @@ def test_fuse_color_pallas(tum_dir, tmp_path):
         np.asarray(got.color, np.int32) - np.asarray(ref.color, np.int32)
     )
     assert dc.max() <= 1
+
+
+def test_fuse_color_tracked(tum_dir, tmp_path):
+    """--fuse-color --track: tracked colour reconstruction end-to-end."""
+    rgb_dir = tum_dir / "rgb"
+    rgb_dir.mkdir(exist_ok=True)
+    for i in range(3):
+        img = np.zeros((H, W, 3), np.uint8)
+        img[:] = [200, 60, 20]
+        save_png(rgb_dir / f"{i}.0.png", img)
+    out = tmp_path / "ct.tsdf"
+    rc = main(
+        ["fuse", "-d", str(tum_dir), "-m", "3", "-s", "48",
+         "--physical", "2000", "--fuse-color", "--track",
+         "-o", str(out), "--mesh", "",
+         "--scene", str(tmp_path / "st.png"),
+         "--normals", str(tmp_path / "nt.png"),
+         "--color", str(tmp_path / "ct.png"),
+         *CAM_ARGS]
+    )
+    assert rc in (0, None)
+    img = load_png(tmp_path / "ct.png")
+    painted = (np.asarray(img) != 0).any(-1)
+    assert painted.sum() > 100
+    px = np.asarray(img)[painted]
+    close = np.linalg.norm(
+        px.astype(np.int32) - [200, 60, 20], axis=-1
+    ) < 80
+    assert close.mean() > 0.5

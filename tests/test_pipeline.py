@@ -145,3 +145,56 @@ def test_fuse_frames_chunked_scan_matches_per_frame():
     np.testing.assert_allclose(
         np.asarray(cam_a.pose), np.asarray(cam_b.pose), atol=0
     )
+
+
+def test_track_and_fuse_color_frames():
+    """Tracked colour reconstruction: (depth, rgb) frames fuse colour at
+    the tracked poses; tracking quality matches the depth-only loop."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tsdf_tpu import Camera, make_volume
+    from tsdf_tpu.kernels.raycast import raycast_pallas
+    from tsdf_tpu.pipelines import FusionConfig, track_and_fuse_frames
+    from tsdf_tpu.utils import fixtures
+
+    W_, H_ = 160, 120
+    scene = make_volume((64,) * 3, 2000.0, offset=(-1000.0, -1000.0, 0.0))
+    wall = fixtures.wall_tsdf(scene, 1500.0)
+    sph = fixtures.sphere_tsdf(scene, 350.0, centre=(100.0, -50.0, 900.0))
+    scene = scene.replace(
+        tsdf=jnp.minimum(wall.tsdf, sph.tsdf),
+        weight=jnp.ones_like(scene.weight),
+    )
+    cams = [
+        Camera.from_intrinsics(147.775, 147.525, 82.75, 58.65)
+        .move_to([20.0 * t, -10.0 * t, -400.0])
+        .look_at([0.0, 0.0, 1000.0])
+        for t in (0.0, 0.5, 1.0)
+    ]
+
+    def depth_of(c):
+        verts, _ = raycast_pallas(scene, c, W_, H_, interpret=True)
+        camz = c.world_to_camera(
+            jnp.where(jnp.isfinite(verts), verts, 0.0).reshape(-1, 3)
+        ).reshape(H_, W_, 3)[..., 2]
+        return jnp.where(jnp.isfinite(verts).all(-1), camz, 0.0)
+
+    rgb = jnp.full((H_, W_, 3), jnp.asarray([30, 180, 90], jnp.uint8))
+    frames = [(depth_of(c), rgb) for c in cams]
+    vol = make_volume(
+        (64,) * 3, 2000.0, offset=(-1000.0, -1000.0, 0.0), with_color=True
+    )
+    cfg = FusionConfig(width=W_, height=H_, use_pallas=True)
+    out, cam_fin, poses, stats = track_and_fuse_frames(
+        vol, cams[0], frames, cfg
+    )
+    assert len(poses) == 3
+    err, inl = stats[-1]
+    assert float(err) < 5.0 and int(inl) > 1000
+    # colour landed on surface-band voxels
+    band = np.abs(np.asarray(out.tsdf)) < float(vol.truncation_distance)
+    fused = (np.asarray(out.weight) > 0) & band
+    cols = np.asarray(out.color)[fused]
+    assert fused.sum() > 100
+    assert (np.abs(cols.astype(np.int32) - [30, 180, 90]).max(-1) <= 1).mean() > 0.8

@@ -188,12 +188,49 @@ def cmd_fuse(args):
         from .ops.integrate import integrate
 
         if args.track:
-            print(
-                "--fuse-color with --track is not supported (colour "
-                "fuses with GT poses); drop one of the flags",
-                file=sys.stderr,
+            if getattr(args, "devices", None):
+                print(
+                    "--fuse-color --track --devices is not supported "
+                    "(tracked colour runs single-device); drop --devices",
+                    file=sys.stderr,
+                )
+                return 1
+            # tracked colour reconstruction: the ICP tracker stays
+            # depth-only; colour fuses at the tracked pose each frame
+            vol = vol.with_color()
+            camera = camera.set_pose(first_pose)
+
+            def rgb_stream():
+                for i, (depth_img, _pose, rgb) in enumerate(
+                    loader.iter_with_rgb()
+                ):
+                    if i >= n:
+                        return
+                    yield (
+                        jnp.asarray(depth_img.data),
+                        None if rgb is None else jnp.asarray(rgb),
+                    )
+
+            vol, camera, poses, stats = track_and_fuse_frames(
+                vol, camera, rgb_stream(), cfg
             )
-            return 1
+            err, inl = stats[-1]
+            print(
+                f"tracked {len(poses)} colour frames; "
+                f"lastError={float(err):.2f}mm lastInliers={int(inl)}"
+            )
+            camera = camera.set_pose(jnp.asarray(first_pose))
+            if args.out:
+                from .io.tsdf_file import save_tsdf
+
+                save_tsdf(vol, args.out)
+                print(f"wrote {args.out}")
+            _render_outputs(vol, camera, args)
+            if args.mesh:
+                _write_mesh(
+                    vol, args.mesh, args.max_cubes, args.max_vertices
+                )
+            return
         mesh, err = _parse_mesh(args)
         if err:
             return err

@@ -83,20 +83,33 @@ def _render_depth_pallas(vol, camera, width, height):
     return jnp.clip(jnp.round(z), 0, 65535).astype(jnp.uint16)
 
 
-def _integrate(vol, depth, camera, config: FusionConfig, miss_log=None):
+def _integrate(vol, depth, camera, config: FusionConfig, miss_log=None,
+               rgb=None):
     if config.use_pallas and vol.deform is None:
-        from ..kernels.integrate import integrate_pallas
+        if rgb is not None:
+            from ..kernels.integrate import integrate_color_pallas
 
-        vol, miss = integrate_pallas(
-            vol, depth, camera,
-            cap_weight=config.cap_weight, nk=config.integrate_nk,
-            mode=config.integrate_mode,
-            interpret=jax.default_backend() != "tpu",
-        )
+            vol, miss = integrate_color_pallas(
+                vol, depth, rgb, camera,
+                cap_weight=config.cap_weight, nk=config.integrate_nk,
+                mode=config.integrate_mode,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            from ..kernels.integrate import integrate_pallas
+
+            vol, miss = integrate_pallas(
+                vol, depth, camera,
+                cap_weight=config.cap_weight, nk=config.integrate_nk,
+                mode=config.integrate_mode,
+                interpret=jax.default_backend() != "tpu",
+            )
         if miss_log is not None:
             miss_log.append(miss)  # left on device; sync'd by the caller
         return vol
-    return integrate(vol, depth, camera, cap_weight=config.cap_weight)
+    return integrate(
+        vol, depth, camera, cap_weight=config.cap_weight, rgb=rgb
+    )
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -251,7 +264,10 @@ def track_and_fuse_frames(
     pose (frame-to-model tracking).
 
     Args:
-      frames: iterable of depth images (H, W) mm.
+      frames: iterable of depth images (H, W) mm, or of (depth, rgb)
+        pairs — rgb (H, W, 3) u8 frames fuse per-voxel colour into a
+        with_color volume (tracked colour reconstruction; the tracker
+        itself stays depth-only).
 
     Returns:
       (volume, camera at final pose, list of (4,4) per-frame poses,
@@ -265,14 +281,19 @@ def track_and_fuse_frames(
     stats = []
     miss_log: list = []
     first = True
-    for depth in frames:
+    for frame in frames:
+        if isinstance(frame, tuple):
+            depth, rgb = frame
+            rgb = None if rgb is None else jnp.asarray(rgb)
+        else:
+            depth, rgb = frame, None
         depth = jnp.asarray(depth, jnp.float32)
         if first:
             # raw depth is fused; the filter only feeds the tracker
             # (see _tracked_step_pallas)
             stats.append((jnp.array(0.0), jnp.array(0.0)))
             first = False
-            vol = _integrate(vol, depth, camera, config, miss_log)
+            vol = _integrate(vol, depth, camera, config, miss_log, rgb=rgb)
             poses.append(camera.pose)
             continue
 
@@ -285,7 +306,7 @@ def track_and_fuse_frames(
             # +27 ms/frame through the remote tunnel)
             band = config.icp_band if config.icp_band > 0 else None
             vol, camera, err, inl, miss = _tracked_step_pallas(
-                vol, camera, depth, config=config, band=band,
+                vol, camera, depth, rgb, config=config, band=band,
             )
             miss_log.append(miss)
             stats.append((err, inl))
@@ -308,7 +329,7 @@ def track_and_fuse_frames(
         # new camera->world = prev pose o T_prev_curr
         camera = camera.set_pose(camera.pose @ res.pose)
         stats.append((res.error, res.inliers))
-        vol = _integrate(vol, depth, camera, config, miss_log)
+        vol = _integrate(vol, depth, camera, config, miss_log, rgb=rgb)
         poses.append(camera.pose)
     _check_misses(miss_log, config)
     return vol, camera, poses, stats
@@ -322,6 +343,7 @@ def _tracked_step_pallas(
     vol: TSDFVolume,
     camera: Camera,
     depth: jnp.ndarray,
+    rgb: jnp.ndarray | None = None,
     *,
     config: FusionConfig,
     band: int | None,
@@ -394,6 +416,14 @@ def _tracked_step_pallas(
     camera = camera.set_pose(camera.pose @ pose_inc)
 
     def fuse(vol):
+        if rgb is not None:
+            from ..kernels.integrate import integrate_color_pallas
+
+            return integrate_color_pallas(
+                vol, depth, rgb, camera,
+                cap_weight=config.cap_weight, nk=config.integrate_nk,
+                mode=config.integrate_mode, interpret=interpret,
+            )
         out, miss = integrate_pallas(
             vol, depth, camera,
             cap_weight=config.cap_weight, nk=config.integrate_nk,
