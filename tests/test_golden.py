@@ -57,3 +57,47 @@ def test_scene_matches_golden():
     assert dn.mean() < 0.5 and (dn > 8).mean() < 0.001, (
         dn.mean(), dn.max(),
     )
+
+
+def _render_color():
+    from tsdf_tpu.ops.integrate import integrate
+    from tsdf_tpu.ops.raycast import render_to_depth_image
+    from tsdf_tpu.ops.shading import color_image
+
+    vol = make_volume(
+        (64,) * 3, 2000.0, offset=(-1000.0, -1000.0, 0.0), with_color=True
+    )
+    wall = fixtures.wall_tsdf(vol, 1500.0)
+    s1 = fixtures.sphere_tsdf(vol, 380.0, centre=(150.0, -100.0, 900.0))
+    scene = vol.replace(
+        tsdf=jnp.minimum(wall.tsdf, s1.tsdf),
+        weight=jnp.ones_like(vol.weight),
+    )
+    cam = (
+        Camera.from_intrinsics(147.775, 147.525, 82.75, 58.65)
+        .move_to([0.0, 0.0, -400.0])
+        .look_at([0.0, 0.0, 1000.0])
+    )
+    depth = render_to_depth_image(scene, cam, width=160, height=120)
+    # deterministic colour pattern: smooth gradients per channel
+    ys = np.arange(120, dtype=np.float32)[:, None]
+    xs = np.arange(160, dtype=np.float32)[None, :]
+    rgb = np.stack(
+        [
+            np.broadcast_to(255.0 * ys / 119.0, (120, 160)),
+            np.broadcast_to(255.0 * xs / 159.0, (120, 160)),
+            np.full((120, 160), 96.0),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    fused = integrate(vol, depth, cam, rgb=jnp.asarray(rgb))
+    verts, _ = raycast(fused, cam, width=160, height=120)
+    return np.asarray(color_image(fused, verts))
+
+
+def test_color_render_matches_golden():
+    img = _render_color()
+    path = os.path.join(GOLDEN_DIR, "color.png")
+    golden = load_png(path)
+    d = np.abs(img.astype(int) - golden.astype(int))
+    assert d.mean() < 0.5 and (d > 8).mean() < 0.001, (d.mean(), d.max())
