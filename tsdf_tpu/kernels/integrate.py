@@ -1024,3 +1024,340 @@ def integrate_color_pallas(
         vol.replace(tsdf=new_tsdf, weight=new_weight, color=new_color),
         jnp.sum(miss[:, :, 0, 0]),
     )
+
+
+def _kernel_pose_grad(
+    params_ref,  # (1, 24) f32 SMEM
+    depth_ref,  # (Hp, Wp) f32 VMEM
+    gx_ref,  # (Hp, Wp) f32 VMEM — depth image x-gradient (mm/px)
+    gy_ref,  # (Hp, Wp) f32 VMEM
+    tsdf_ref,  # (1, Y, BX) VMEM
+    weight_ref,  # (1, Y, BX) VMEM
+    gbar_d_ref,  # (1, Y, BX) f32 VMEM — cotangent of new_tsdf
+    gbar_w_ref,  # (1, Y, BX) f32 VMEM — cotangent of new_weight
+    out_dd_ref,  # (1, Y, BX) f32 — cotangent into tsdf_in
+    out_dw_ref,  # (1, Y, BX) f32 — cotangent into weight_in
+    out_dxi_ref,  # (1, 1, 48, 128) f32 — 6 block-partial twist sums
+    *,
+    Y: int,
+    BX: int,
+    Hp: int,
+    Wp: int,
+    Hr: int,
+    Wr: int,
+    Yr: int,
+    Xr: int,
+    nk: int,
+    cap_weight: bool,
+    image_term: bool,
+):
+    """Backward of the integrate w.r.t. a left twist at the pose, plus
+    the volume cotangents — the production adjoint of ``_kernel``
+    (semantics: ops/integrate_diff.py:pose_gradient_lax). The depth
+    image AND its two gradient images ride the shared three-table
+    line-warp lookup, so the backward costs ~1.5x one forward pass."""
+    z = pl.program_id(0)
+    xb = pl.program_id(1)
+
+    p = params_ref
+    r00, r01, r02, t0 = p[0, 0], p[0, 1], p[0, 2], p[0, 3]
+    r10, r11, r12, t1 = p[0, 4], p[0, 5], p[0, 6], p[0, 7]
+    r20, r21, r22, t2 = p[0, 8], p[0, 9], p[0, 10], p[0, 11]
+    fx, fy, cx0, cy0 = p[0, 12], p[0, 13], p[0, 14], p[0, 15]
+    off_x, off_y, off_z = p[0, 16], p[0, 17], p[0, 18]
+    vs_x, vs_y, vs_z = p[0, 19], p[0, 20], p[0, 21]
+    trunc = p[0, 22]
+    max_weight = p[0, 23]
+
+    zf = z.astype(jnp.float32)
+    cz = off_z + (zf + 0.5) * vs_z
+    x0 = (xb * BX).astype(jnp.float32)
+
+    xv_i = jax.lax.broadcasted_iota(jnp.int32, (Y, BX), 1)
+    yv_i = jax.lax.broadcasted_iota(jnp.int32, (Y, BX), 0)
+    xv = xv_i.astype(jnp.float32) + x0
+    yv = yv_i.astype(jnp.float32)
+    vox_valid = (xv_i + pl.program_id(1) * BX < Xr) & (yv_i < Yr)
+    wx = off_x + (xv + 0.5) * vs_x
+    wy = off_y + (yv + 0.5) * vs_y
+    kx = r02 * cz + t0
+    ky = r12 * cz + t1
+    kz = r22 * cz + t2
+    Xc = r00 * wx + r01 * wy + kx
+    Yc = r10 * wx + r11 * wy + ky
+    Zc = r20 * wx + r21 * wy + kz
+    px = fx * Xc / Zc + cx0
+    py = fy * Yc / Zc + cy0
+    px = jnp.where(jnp.isfinite(px), jnp.clip(px, -_BIG, _BIG), -1.0)
+    py = jnp.where(jnp.isfinite(py), jnp.clip(py, -_BIG, _BIG), -1.0)
+    pxr = jnp.round(px).astype(jnp.int32)
+    pyr = jnp.round(py).astype(jnp.int32)
+    in_img = (
+        (pxr >= 0) & (pxr < Wr) & (pyr >= 0) & (pyr < Hr) & vox_valid
+    )
+
+    wx_row = off_x + (
+        jax.lax.broadcasted_iota(jnp.int32, (1, BX), 1).astype(jnp.float32)
+        + x0
+        + 0.5
+    ) * vs_x
+    wyA = off_y + 0.5 * vs_y
+    wyB = off_y + (Y - 0.5) * vs_y
+    alpha, beta = _fit_column_lines(
+        r00, r01, r10, r11, r20, r21, kx, ky, kz, fx, fy, cx0, cy0,
+        wx_row, wyA, wyB,
+    )
+
+    y_img = jax.lax.broadcasted_iota(jnp.int32, (Hp, BX), 0).astype(
+        jnp.float32
+    )
+    c0 = jnp.round(jnp.clip(alpha + beta * y_img, -_BIG, _BIG)).astype(
+        jnp.int32
+    )
+    tables = (depth_ref[...], gx_ref[...], gy_ref[...])
+    tmps = _pass1_gather(tables, c0, nk, BX, Hp, Wp)
+
+    pyr_g = jnp.clip(pyr, 0, Hp - 1)
+    pyrT = pyr_g.T
+    c0r = jnp.round(
+        jnp.clip(alpha + beta * pyr.astype(jnp.float32), -_BIG, _BIG)
+    ).astype(jnp.int32)
+    (depth_val, gxv, gyv), matched = _pass2_select(
+        tmps, pyrT, pxr, c0r, nk, BX, Y, Hp
+    )
+
+    d = tsdf_ref[0].astype(jnp.float32)
+    w = weight_ref[0].astype(jnp.float32)
+    gbar_d = gbar_d_ref[0]
+    gbar_w = gbar_w_ref[0]
+    sdf = depth_val - Zc
+    update = (
+        in_img & (Zc > 0.0) & matched & (depth_val > 0.0)
+        & (sdf >= -trunc)
+    )
+    upd_f = update.astype(jnp.float32)
+    band = (sdf < trunc).astype(jnp.float32)
+    new_w = w + 1.0
+
+    # ---- pose twist partials: 6 block sums ------------------------------
+    coef = gbar_d * upd_f * band / new_w
+    zc2 = Zc * Zc
+    zero = jnp.zeros_like(wx)
+    one = jnp.ones_like(wx)
+    czb = jnp.full_like(wx, cz)
+    # e_j x x_w (omega) and e_j (v), world frame
+    ejs = (
+        (zero, -czb, wy),   # omega_x
+        (czb, zero, -wx),   # omega_y
+        (-wy, wx, zero),    # omega_z
+        (one, zero, zero),  # v_x
+        (zero, one, zero),  # v_y
+        (zero, zero, one),  # v_z
+    )
+    comps = []
+    for ex, ey, ez in ejs:
+        dxc = -(r00 * ex + r01 * ey + r02 * ez)
+        dyc = -(r10 * ex + r11 * ey + r12 * ez)
+        dzc = -(r20 * ex + r21 * ey + r22 * ez)
+        dsdf = -dzc
+        if image_term:
+            dpx = fx * (dxc * Zc - Xc * dzc) / zc2
+            dpy = fy * (dyc * Zc - Yc * dzc) / zc2
+            dsdf = dsdf + gxv * dpx + gyv * dpy
+        comps.append(jnp.sum(coef * dsdf))
+    out_dxi_ref[0, 0] = jnp.concatenate(
+        [jnp.full((8, _LANE), c, jnp.float32) for c in comps], axis=0
+    )
+
+    # ---- volume cotangents ----------------------------------------------
+    o = jnp.minimum(sdf, trunc)
+    out_dd_ref[0] = gbar_d * jnp.where(update, w / new_w, 1.0)
+    dnewd_dw = upd_f * (d - o) / (new_w * new_w)
+    if cap_weight:
+        capfac = jnp.where(
+            update, (new_w < max_weight).astype(jnp.float32), 1.0
+        )
+    else:
+        capfac = 1.0
+    out_dw_ref[0] = gbar_d * dnewd_dw + gbar_w * capfac
+
+
+@partial(
+    jax.custom_vjp,
+    nondiff_argnums=(4, 5, 6, 7),
+)
+def integrate_pose(
+    vol: TSDFVolume,
+    depth: jnp.ndarray,
+    camera: Camera,
+    delta: jnp.ndarray,
+    nk: int = 3,
+    cap_weight: bool = False,
+    image_term: bool = True,
+    interpret: bool = False,
+):
+    """Differentiable fusion w.r.t. pose, at production kernel speed.
+
+    Forward: fuse ``depth`` at pose ``se3_exp(delta) @ camera.pose``
+    through the line-warp Pallas kernel (exact mode). Backward: the
+    analytic 6-twist adjoint — including the image-space term AD cannot
+    see through the rounded depth lookup (semantics + equality gate:
+    ops/integrate_diff.py) — runs as one three-table kernel pass
+    (depth, dD/dx, dD/dy share the lookup), ~1.5x a forward. Volume
+    cotangents (tsdf, weight) are exact, so fusion steps chain under AD;
+    ``depth`` and ``camera`` are treated as observed data
+    (stop-gradient). Gradient conventions: left twist at delta = 0 —
+    optimizers re-base the pose each step (as tools/run_config4.py does
+    for the raycast alignment).
+
+    Returns (fused volume, miss count).
+    """
+    cam2 = _compose(camera, delta)
+    return integrate_pallas(
+        vol, depth, cam2, cap_weight=cap_weight, nk=nk,
+        interpret=interpret, mode="exact",
+    )
+
+
+def _compose(camera: Camera, delta: jnp.ndarray) -> Camera:
+    from ..utils.se3 import se3_exp
+
+    return camera.set_pose(se3_exp(delta) @ camera.pose)
+
+
+def _integrate_pose_fwd(vol, depth, camera, delta, nk, cap_weight,
+                        image_term, interpret):
+    cam2 = _compose(camera, delta)
+    out = integrate_pallas(
+        vol, depth, cam2, cap_weight=cap_weight, nk=nk,
+        interpret=interpret, mode="exact",
+    )
+    return out, (vol, jnp.asarray(depth, jnp.float32), camera, delta)
+
+
+def _zeros_cotangent(x):
+    import numpy as np
+
+    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact):
+        return jnp.zeros_like(x)
+    return np.zeros(jnp.shape(x), jax.dtypes.float0)
+
+
+def _integrate_pose_bwd(nk, cap_weight, image_term, interpret, res, g):
+    vol, depth, camera, delta = res
+    gvol, _gmiss = g
+    cam2 = _compose(camera, delta)
+    dd, dw, dxi = _pose_grad_pallas(
+        vol, depth, cam2, gvol.tsdf, gvol.weight,
+        nk=nk, cap_weight=cap_weight, image_term=image_term,
+        interpret=interpret,
+    )
+    # tsdf/weight carry the adjoint; other leaves are observed data
+    vol_cot = jax.tree.map(_zeros_cotangent, vol)
+    vol_cot = vol_cot.replace(
+        tsdf=dd.astype(vol.tsdf.dtype), weight=dw.astype(vol.weight.dtype)
+    )
+    depth_cot = jnp.zeros_like(depth)  # observed data: stop-gradient
+    cam_cot = jax.tree.map(_zeros_cotangent, camera)
+    return vol_cot, depth_cot, cam_cot, dxi
+
+
+integrate_pose.defvjp(_integrate_pose_fwd, _integrate_pose_bwd)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nk", "cap_weight", "image_term", "interpret"),
+)
+def _pose_grad_pallas(
+    vol: TSDFVolume,
+    depth: jnp.ndarray,
+    camera: Camera,
+    gbar_d: jnp.ndarray,
+    gbar_w: jnp.ndarray,
+    *,
+    nk: int,
+    cap_weight: bool,
+    image_term: bool,
+    interpret: bool,
+):
+    """Run the pose-adjoint kernel: returns (d tsdf_in, d weight_in,
+    (6,) twist gradient)."""
+    from ..ops.integrate_diff import depth_image_gradients
+
+    Z, Yr, Xr = vol.tsdf.shape
+    Hr, Wr = depth.shape
+    Y = _round_up(Yr, _LANE)
+    X = _round_up(Xr, _LANE)
+    Hp = _round_up(Hr, _LANE)
+    Wp = _round_up(Wr, _LANE)
+
+    depth_f = jnp.asarray(depth, jnp.float32)
+    gx_img, gy_img = depth_image_gradients(depth_f)
+    if (Hp, Wp) != (Hr, Wr):
+        pad2 = ((0, Hp - Hr), (0, Wp - Wr))
+        depth_f = jnp.pad(depth_f, pad2)
+        gx_img = jnp.pad(gx_img, pad2)
+        gy_img = jnp.pad(gy_img, pad2)
+
+    tsdf = vol.tsdf
+    weight = vol.weight
+    gbar_d = jnp.asarray(gbar_d, jnp.float32)
+    gbar_w = jnp.asarray(gbar_w, jnp.float32)
+    if (Y, X) != (Yr, Xr):
+        pad = ((0, 0), (0, Y - Yr), (0, X - Xr))
+        tsdf = jnp.pad(tsdf, pad)
+        weight = jnp.pad(weight, pad)
+        gbar_d = jnp.pad(gbar_d, pad)
+        gbar_w = jnp.pad(gbar_w, pad)
+
+    BX = min(X, _LANE)
+    n_xb = X // BX
+    params = _pack_params(vol, camera)
+
+    kern = partial(
+        _kernel_pose_grad,
+        Y=Y, BX=BX, Hp=Hp, Wp=Wp, Hr=Hr, Wr=Wr, Yr=Yr, Xr=Xr,
+        nk=nk, cap_weight=cap_weight, image_term=image_term,
+    )
+    vol_spec = pl.BlockSpec(
+        (1, Y, BX), lambda z, xb: (z, 0, xb), memory_space=pltpu.VMEM
+    )
+    img_spec = pl.BlockSpec(
+        (Hp, Wp), lambda z, xb: (0, 0), memory_space=pltpu.VMEM
+    )
+    dd, dw, dxi = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
+            jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
+            jax.ShapeDtypeStruct((Z, n_xb, 48, _LANE), jnp.float32),
+        ),
+        grid=(Z, n_xb),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 24), lambda z, xb: (0, 0), memory_space=pltpu.SMEM
+            ),
+            img_spec, img_spec, img_spec,
+            vol_spec, vol_spec, vol_spec, vol_spec,
+        ],
+        out_specs=(
+            vol_spec,
+            vol_spec,
+            pl.BlockSpec(
+                (1, 1, 48, _LANE),
+                lambda z, xb: (z, xb, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        interpret=interpret,
+    )(params, depth_f, gx_img, gy_img, tsdf, weight, gbar_d, gbar_w)
+
+    if (Y, X) != (Yr, Xr):
+        dd = dd[:, :Yr, :Xr]
+        dw = dw[:, :Yr, :Xr]
+    # 6 block-partial rows at 8k: sum over the grid
+    dxi6 = jnp.stack(
+        [jnp.sum(dxi[:, :, 8 * j, 0]) for j in range(6)]
+    )
+    return dd, dw, dxi6
