@@ -12,6 +12,7 @@ from .integrate import (
     integrate_auto,
     integrate_pallas,
     integrate_color_pallas,
+    integrate_pose,
     integrate_warped_pallas,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "integrate_pallas",
     "integrate_auto",
     "integrate_color_pallas",
+    "integrate_pose",
     "integrate_warped_pallas",
 ]
