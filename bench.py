@@ -129,6 +129,29 @@ def main():
     rays_per_s = width * height / dt_ray
     _note(f"raycast done: {dt_ray*1e3:.1f} ms")
 
+    # Differentiable-fusion backward: the analytic pose adjoint (three
+    # tables through the shared line-warp lookup) at the headline grid.
+    dt_pgrad = None
+    try:
+        from tsdf_tpu.kernels.integrate import _pose_grad_pallas
+
+        gbar = jnp.ones((grid, grid, grid), jnp.float32)
+        gz = jnp.zeros((grid, grid, grid), jnp.float32)
+
+        def pgrad_fn(v):
+            dd, dw, dxi = _pose_grad_pallas(
+                v, depth, camera, gbar, gz,
+                nk=3, cap_weight=False, image_term=True,
+                interpret=False,
+            )
+            return dxi
+
+        _note("pose-adjoint warmup/compile")
+        dt_pgrad = _bench(pgrad_fn, vol)
+        _note(f"pose-adjoint done: {dt_pgrad*1e3:.1f} ms")
+    except Exception as e:
+        _note(f"pose-adjoint failed: {type(e).__name__}: {e}")
+
     # Deep-scene raycast (config-1-like: far wall at z=2500, rays sweep
     # most of the volume): exercises the exact empty-brick skip.
     dt_deep = None
@@ -321,6 +344,9 @@ def main():
                     ),
                     "integrate_color_ms": (
                         dt_cint * 1e3 if dt_cint else None
+                    ),
+                    "integrate_pose_bwd_ms": (
+                        dt_pgrad * 1e3 if dt_pgrad else None
                     ),
                     "kinfu_tracked_ms_256": kinfu_ms,
                     "scenefusion_ms_255": sf_ms,
