@@ -194,3 +194,51 @@ def test_scenefusion_frame_sharded_matches_single(mesh):
     np.testing.assert_allclose(
         np.asarray(got.weight), np.asarray(ref.weight), atol=1e-5
     )
+
+
+def test_integrate_pose_sharded_gradient_matches_single(mesh):
+    """Brick-parallel differentiable fusion: the psum'd 6-twist gradient
+    and the fused volume == the single-device integrate_pose."""
+    import jax
+
+    from tsdf_tpu import Camera, make_volume
+    from tsdf_tpu.kernels.integrate import integrate_pose
+    from tsdf_tpu.parallel.ops import (
+        integrate_pose_sharded,
+        shard_volume,
+    )
+    from tsdf_tpu.utils import fixtures
+
+    vol = make_volume((32, 32, 32), 1500.0, offset=(-750.0, -750.0, 0.0))
+    vol = vol.replace(weight=jnp.full_like(vol.weight, 1.0))
+    cam = (
+        Camera.from_intrinsics(147.775, 147.525, 82.75, 58.65)
+        .move_to([40.0, -30.0, -300.0])
+        .look_at([0.0, 0.0, 750.0])
+    )
+    depth = jnp.asarray(
+        fixtures.sphere_depth_map(160, 120, 300.0, 600.0, 1200.0),
+        jnp.float32,
+    )
+    rng = np.random.RandomState(4)
+    gbar = jnp.asarray(rng.randn(32, 32, 32), jnp.float32)
+
+    def loss_single(delta):
+        out, _ = integrate_pose(vol, depth, cam, delta, interpret=True)
+        return jnp.sum(gbar * out.tsdf)
+
+    vs = shard_volume(vol, mesh)
+
+    def loss_sharded(delta):
+        out, _ = integrate_pose_sharded(
+            vs, depth, cam, delta, mesh, interpret=True
+        )
+        return jnp.sum(gbar * out.tsdf)
+
+    d0 = jnp.zeros(6)
+    l1, g1 = jax.value_and_grad(loss_single)(d0)
+    l2, g2 = jax.value_and_grad(loss_sharded)(d0)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(g2), np.asarray(g1), rtol=1e-4, atol=1e-4
+    )

@@ -18,6 +18,7 @@ from .mesh import make_mesh, volume_sharding, replicated
 from .ops import (
     extract_surface_sharded,
     get_incremental_transformation_sharded,
+    integrate_pose_sharded,
     integrate_sharded,
     merge_brick_soups,
     raycast_sharded,
@@ -33,6 +34,7 @@ __all__ = [
     "volume_sharding",
     "replicated",
     "shard_volume",
+    "integrate_pose_sharded",
     "integrate_sharded",
     "raycast_sharded",
     "raycast_sharded_bricked",
