@@ -33,7 +33,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tsdf_tpu import Camera, make_volume
 from tsdf_tpu.kernels.integrate import integrate_pose
 from tsdf_tpu.utils import fixtures
-from tsdf_tpu.utils.se3 import se3_exp
 
 
 def main():
@@ -83,13 +82,7 @@ def main():
     true_delta = jnp.asarray(
         [0.004, -0.003, 0.002, 12.0, -9.0, 8.0], jnp.float32
     )
-    t_true = se3_exp(true_delta)
     delta = true_delta  # start AT the perturbation; optimize back to 0
-
-    def pose_err(d):
-        t = se3_exp(d)
-        return float(jnp.linalg.norm(t[:3, 3] - t_true[:3, 3] * 0.0)) + \
-            float(jnp.linalg.norm(t[:3, 3]))
 
     print(f"grid {grid}^3; initial twist |v| = "
           f"{float(jnp.linalg.norm(delta[3:])):.1f} mm, "

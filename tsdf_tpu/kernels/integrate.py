@@ -1037,7 +1037,7 @@ def _kernel_pose_grad(
     gbar_w_ref,  # (1, Y, BX) f32 VMEM — cotangent of new_weight
     out_dd_ref,  # (1, Y, BX) f32 — cotangent into tsdf_in
     out_dw_ref,  # (1, Y, BX) f32 — cotangent into weight_in
-    out_dxi_ref,  # (1, 1, 48, 128) f32 — 6 block-partial twist sums
+    out_dxi_ref,  # (1, 1, 96, 128) f32 — 12 block-partial pose_inv sums
     *,
     Y: int,
     BX: int,
@@ -1051,11 +1051,12 @@ def _kernel_pose_grad(
     cap_weight: bool,
     image_term: bool,
 ):
-    """Backward of the integrate w.r.t. a left twist at the pose, plus
-    the volume cotangents — the production adjoint of ``_kernel``
-    (semantics: ops/integrate_diff.py:pose_gradient_lax). The depth
-    image AND its two gradient images ride the shared three-table
-    line-warp lookup, so the backward costs ~1.5x one forward pass."""
+    """Backward of the integrate w.r.t. the camera pose_inv matrix
+    (rows R_wc | t_wc), plus the volume cotangents — the production
+    adjoint of ``_kernel`` (twist semantics chain through se3_exp by
+    ordinary AD; equality gate: ops/integrate_diff.py). The depth image
+    AND its two gradient images ride the shared three-table line-warp
+    lookup, so the backward costs ~1.5x one forward pass."""
     z = pl.program_id(0)
     xb = pl.program_id(1)
 
@@ -1139,32 +1140,34 @@ def _kernel_pose_grad(
     band = (sdf < trunc).astype(jnp.float32)
     new_w = w + 1.0
 
-    # ---- pose twist partials: 6 block sums ------------------------------
+    # ---- pose_inv (R | t) partials: 12 block sums ------------------------
+    # The loss reaches the pose only through x_c = R_wc x_w + t_wc per
+    # voxel, so dL/dR_wc[i,j] = sum dL/dx_c[i] * x_w[j] and
+    # dL/dt_wc[i] = sum dL/dx_c[i] — a raw matrix cotangent the caller
+    # chains through jnp.linalg.inv / se3_exp with ordinary AD, making
+    # jax.grad exact at ANY twist (not just delta = 0).
     coef = gbar_d * upd_f * band / new_w
-    zc2 = Zc * Zc
-    zero = jnp.zeros_like(wx)
-    one = jnp.ones_like(wx)
+    # Zc == 0 exactly would make 0 * inf = NaN through the masked
+    # multiply; the update gate already excludes Zc <= 0
+    zc2 = jnp.where(Zc > 0.0, Zc * Zc, 1.0)
+    # dL/dx_c per voxel
+    if image_term:
+        dxc = coef * gxv * fx / jnp.where(Zc > 0.0, Zc, 1.0)
+        dyc = coef * gyv * fy / jnp.where(Zc > 0.0, Zc, 1.0)
+        dzc = coef * (
+            -gxv * fx * Xc / zc2 - gyv * fy * Yc / zc2 - 1.0
+        )
+    else:
+        dxc = jnp.zeros_like(coef)
+        dyc = jnp.zeros_like(coef)
+        dzc = -coef
     czb = jnp.full_like(wx, cz)
-    # e_j x x_w (omega) and e_j (v), world frame
-    ejs = (
-        (zero, -czb, wy),   # omega_x
-        (czb, zero, -wx),   # omega_y
-        (-wy, wx, zero),    # omega_z
-        (one, zero, zero),  # v_x
-        (zero, one, zero),  # v_y
-        (zero, zero, one),  # v_z
-    )
     comps = []
-    for ex, ey, ez in ejs:
-        dxc = -(r00 * ex + r01 * ey + r02 * ez)
-        dyc = -(r10 * ex + r11 * ey + r12 * ez)
-        dzc = -(r20 * ex + r21 * ey + r22 * ez)
-        dsdf = -dzc
-        if image_term:
-            dpx = fx * (dxc * Zc - Xc * dzc) / zc2
-            dpy = fy * (dyc * Zc - Yc * dzc) / zc2
-            dsdf = dsdf + gxv * dpx + gyv * dpy
-        comps.append(jnp.sum(coef * dsdf))
+    for dci in (dxc, dyc, dzc):
+        comps.append(jnp.sum(dci * wx))   # dL/dR[i, 0]
+        comps.append(jnp.sum(dci * wy))   # dL/dR[i, 1]
+        comps.append(jnp.sum(dci * czb))  # dL/dR[i, 2]
+        comps.append(jnp.sum(dci))        # dL/dt[i]
     out_dxi_ref[0, 0] = jnp.concatenate(
         [jnp.full((8, _LANE), c, jnp.float32) for c in comps], axis=0
     )
@@ -1174,18 +1177,17 @@ def _kernel_pose_grad(
     out_dd_ref[0] = gbar_d * jnp.where(update, w / new_w, 1.0)
     dnewd_dw = upd_f * (d - o) / (new_w * new_w)
     if cap_weight:
-        capfac = jnp.where(
-            update, (new_w < max_weight).astype(jnp.float32), 1.0
-        )
+        # match jnp.minimum's AD exactly: derivative 1 below the cap,
+        # 0.5 at the tie (weights step by 1, so the tie is COMMON: every
+        # voxel hits it on the frame it reaches the cap), 0 above
+        below = (new_w < max_weight).astype(jnp.float32)
+        tie = (new_w == max_weight).astype(jnp.float32)
+        capfac = jnp.where(update, below + 0.5 * tie, 1.0)
     else:
         capfac = 1.0
     out_dw_ref[0] = gbar_d * dnewd_dw + gbar_w * capfac
 
 
-@partial(
-    jax.custom_vjp,
-    nondiff_argnums=(4, 5, 6, 7),
-)
 def integrate_pose(
     vol: TSDFVolume,
     depth: jnp.ndarray,
@@ -1200,22 +1202,27 @@ def integrate_pose(
 
     Forward: fuse ``depth`` at pose ``se3_exp(delta) @ camera.pose``
     through the line-warp Pallas kernel (exact mode). Backward: the
-    analytic 6-twist adjoint — including the image-space term AD cannot
-    see through the rounded depth lookup (semantics + equality gate:
+    analytic adjoint — including the image-space term AD cannot see
+    through the rounded depth lookup (semantics + equality gate:
     ops/integrate_diff.py) — runs as one three-table kernel pass
-    (depth, dD/dx, dD/dy share the lookup), ~1.5x a forward. Volume
-    cotangents (tsdf, weight) are exact, so fusion steps chain under AD;
-    ``depth`` and ``camera`` are treated as observed data
-    (stop-gradient). Gradient conventions: left twist at delta = 0 —
-    optimizers re-base the pose each step (as tools/run_config4.py does
-    for the raycast alignment).
+    (depth, dD/dx, dD/dy share the lookup), ~1.5x a forward. The kernel
+    emits the raw cotangent of the pose_inv MATRIX; ``se3_exp`` and the
+    4x4 inverse chain by ordinary AD, so ``jax.grad`` is exact at ANY
+    delta (not just 0). Volume cotangents (tsdf, weight, incl. the
+    weight-cap tie) are exact, so fusion steps chain under AD;
+    ``depth`` and intrinsics are treated as observed data
+    (stop-gradient).
 
-    Returns (fused volume, miss count).
+    Returns (fused volume, miss count); differentiable in ``delta``
+    (and the volume).
     """
-    cam2 = _compose(camera, delta)
-    return integrate_pallas(
-        vol, depth, cam2, cap_weight=cap_weight, nk=nk,
-        interpret=interpret, mode="exact",
+    from ..utils.se3 import se3_exp
+
+    pose = se3_exp(delta) @ camera.pose
+    pose_inv = jnp.linalg.inv(pose)
+    return _integrate_core(
+        vol, jnp.asarray(depth, jnp.float32), camera.k, pose_inv,
+        nk, cap_weight, image_term, interpret,
     )
 
 
@@ -1225,14 +1232,30 @@ def _compose(camera: Camera, delta: jnp.ndarray) -> Camera:
     return camera.set_pose(se3_exp(delta) @ camera.pose)
 
 
-def _integrate_pose_fwd(vol, depth, camera, delta, nk, cap_weight,
-                        image_term, interpret):
-    cam2 = _compose(camera, delta)
-    out = integrate_pallas(
-        vol, depth, cam2, cap_weight=cap_weight, nk=nk,
-        interpret=interpret, mode="exact",
+def _cam_from_inv(k: jnp.ndarray, pose_inv: jnp.ndarray) -> Camera:
+    return Camera(
+        k=k,
+        k_inv=jnp.linalg.inv(k),
+        pose=jnp.linalg.inv(pose_inv),
+        pose_inv=pose_inv,
     )
-    return out, (vol, jnp.asarray(depth, jnp.float32), camera, delta)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _integrate_core(vol, depth, k, pose_inv, nk, cap_weight, image_term,
+                    interpret):
+    return integrate_pallas(
+        vol, depth, _cam_from_inv(k, pose_inv), cap_weight=cap_weight,
+        nk=nk, interpret=interpret, mode="exact",
+    )
+
+
+def _integrate_core_fwd(vol, depth, k, pose_inv, nk, cap_weight,
+                        image_term, interpret):
+    out = _integrate_core(
+        vol, depth, k, pose_inv, nk, cap_weight, image_term, interpret
+    )
+    return out, (vol, depth, k, pose_inv)
 
 
 def _zeros_cotangent(x):
@@ -1243,26 +1266,27 @@ def _zeros_cotangent(x):
     return np.zeros(jnp.shape(x), jax.dtypes.float0)
 
 
-def _integrate_pose_bwd(nk, cap_weight, image_term, interpret, res, g):
-    vol, depth, camera, delta = res
+def _integrate_core_bwd(nk, cap_weight, image_term, interpret, res, g):
+    vol, depth, k, pose_inv = res
     gvol, _gmiss = g
-    cam2 = _compose(camera, delta)
-    dd, dw, dxi = _pose_grad_pallas(
-        vol, depth, cam2, gvol.tsdf, gvol.weight,
+    dd, dw, dpinv = _pose_grad_pallas(
+        vol, depth, _cam_from_inv(k, pose_inv), gvol.tsdf, gvol.weight,
         nk=nk, cap_weight=cap_weight, image_term=image_term,
         interpret=interpret,
     )
-    # tsdf/weight carry the adjoint; other leaves are observed data
     vol_cot = jax.tree.map(_zeros_cotangent, vol)
     vol_cot = vol_cot.replace(
         tsdf=dd.astype(vol.tsdf.dtype), weight=dw.astype(vol.weight.dtype)
     )
-    depth_cot = jnp.zeros_like(depth)  # observed data: stop-gradient
-    cam_cot = jax.tree.map(_zeros_cotangent, camera)
-    return vol_cot, depth_cot, cam_cot, dxi
+    return (
+        vol_cot,
+        jnp.zeros_like(depth),  # observed data: stop-gradient
+        jnp.zeros_like(k),
+        dpinv,
+    )
 
 
-integrate_pose.defvjp(_integrate_pose_fwd, _integrate_pose_bwd)
+_integrate_core.defvjp(_integrate_core_fwd, _integrate_core_bwd)
 
 
 @partial(
@@ -1282,7 +1306,8 @@ def _pose_grad_pallas(
     interpret: bool,
 ):
     """Run the pose-adjoint kernel: returns (d tsdf_in, d weight_in,
-    (6,) twist gradient)."""
+    (4, 4) cotangent of the pose_inv matrix — rows R_wc | t_wc; the
+    bottom row is zero)."""
     from ..ops.integrate_diff import depth_image_gradients
 
     Z, Yr, Xr = vol.tsdf.shape
@@ -1331,7 +1356,7 @@ def _pose_grad_pallas(
         out_shape=(
             jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
             jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
-            jax.ShapeDtypeStruct((Z, n_xb, 48, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((Z, n_xb, 96, _LANE), jnp.float32),
         ),
         grid=(Z, n_xb),
         in_specs=[
@@ -1345,7 +1370,7 @@ def _pose_grad_pallas(
             vol_spec,
             vol_spec,
             pl.BlockSpec(
-                (1, 1, 48, _LANE),
+                (1, 1, 96, _LANE),
                 lambda z, xb: (z, xb, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -1356,8 +1381,10 @@ def _pose_grad_pallas(
     if (Y, X) != (Yr, Xr):
         dd = dd[:, :Yr, :Xr]
         dw = dw[:, :Yr, :Xr]
-    # 6 block-partial rows at 8k: sum over the grid
-    dxi6 = jnp.stack(
-        [jnp.sum(dxi[:, :, 8 * j, 0]) for j in range(6)]
+    # 12 block-partial rows at 8k: sum over the grid -> (3, 4) rows of
+    # the pose_inv cotangent, padded to 4x4 with a zero bottom row
+    sums = jnp.stack([jnp.sum(dxi[:, :, 8 * j, 0]) for j in range(12)])
+    dpinv = jnp.concatenate(
+        [sums.reshape(3, 4), jnp.zeros((1, 4), jnp.float32)], axis=0
     )
-    return dd, dw, dxi6
+    return dd, dw, dpinv

@@ -10,12 +10,12 @@ pose optimization THROUGH fusion. This module defines the analytic
 production path is the Pallas backward in kernels/integrate.py
 (``integrate_pose``), equality-gated against this.
 
-Convention: the gradient is taken w.r.t. a LEFT-multiplied infinitesimal
-twist delta at the current pose, T' = se3_exp(delta) @ T (world-frame
-perturbation, (omega, v) packing of utils/se3.py). At delta = 0 this
-equals jax.grad through ``se3_exp(delta) @ pose``; optimizers re-base
-the pose each step (the same convention run_config4's LM uses for the
-raycast alignment).
+Convention: ``pose_gradient_lax`` returns the LEFT-twist gradient at the
+current pose (T' = se3_exp(delta) @ T at delta = 0; (omega, v) packing
+of utils/se3.py) — it equals jax.grad through ``se3_exp(delta) @ pose``
+at delta = 0. The production ``integrate_pose`` emits the raw pose_inv
+MATRIX cotangent instead and lets AD chain through se3_exp / the 4x4
+inverse, so its jax.grad is exact at ANY delta.
 
 Adjoint math per voxel (x_w its world centre, x_c = T^-1 x_w):
   d x_c / d v_j     = -R_wc e_j
@@ -97,7 +97,9 @@ def pose_gradient_lax(
     )
 
     xc, yc = cam[..., 0], cam[..., 1]
-    zc2 = zc * zc
+    # Zc == 0 exactly would produce 0 * inf = NaN through the masked
+    # multiply (coef is already zero there via the update gate)
+    zc2 = jnp.where(zc > 0, zc * zc, 1.0)
     xw = centres[..., 0]
     yw = centres[..., 1]
     zw = centres[..., 2]

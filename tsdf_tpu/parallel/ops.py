@@ -1014,58 +1014,69 @@ def integrate_pose_sharded(
 
     Forward: brick-parallel Pallas integrate at pose
     ``se3_exp(delta) @ camera.pose``. Backward: each brick runs the
-    three-table pose-adjoint kernel on its slab and the 6-twist
-    gradient all-reduces over the brick axis — the distributed
-    training-step shape (gradient psum over ICI) the north star asks
-    for, at production kernel speed. Volume cotangents stay
-    brick-local. See kernels/integrate.py:integrate_pose for the
-    semantics (equality-gated vs ops/integrate_diff.py).
+    three-table pose-adjoint kernel on its slab and the pose_inv matrix
+    cotangent all-reduces over the brick axis — the distributed
+    training-step shape (gradient psum over ICI) at production kernel
+    speed; ``se3_exp`` / the 4x4 inverse chain by ordinary AD so
+    jax.grad is exact at any delta. Volume cotangents stay brick-local.
+    Semantics gate: ops/integrate_diff.py via
+    kernels/integrate.py:integrate_pose.
 
-    Returns (fused volume, miss count); differentiable in ``delta``.
+    Returns (fused volume, miss count); differentiable in ``delta``
+    (and the volume). Rigid volumes only.
     """
+    from ..utils.se3 import se3_exp
+
+    if vol.deform is not None:
+        raise ValueError(
+            "integrate_pose_sharded is the rigid path: the pose adjoint "
+            "is computed at lattice centres (deformed volumes would get "
+            "a silently wrong gradient)"
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _integrate_pose_sharded(
-        vol, jnp.asarray(depth, jnp.float32), camera, delta,
+    pose = se3_exp(delta) @ camera.pose
+    pose_inv = jnp.linalg.inv(pose)
+    return _integrate_core_sharded(
+        vol, jnp.asarray(depth, jnp.float32), camera.k, pose_inv,
         mesh, nk, cap_weight, image_term, interpret,
     )
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _integrate_pose_sharded(
-    vol, depth, camera, delta, mesh, nk, cap_weight, image_term, interpret
+def _integrate_core_sharded(
+    vol, depth, k, pose_inv, mesh, nk, cap_weight, image_term, interpret
 ):
-    from ..kernels.integrate import _compose
+    from ..kernels.integrate import _cam_from_inv
 
-    cam2 = _compose(camera, delta)
     return _integrate_sharded_jit(
-        vol, depth, cam2, None, mesh=mesh, cap_weight=cap_weight,
-        use_pallas=True, nk=nk, interpret=interpret, mode="exact",
+        vol, depth, _cam_from_inv(k, pose_inv), None, mesh=mesh,
+        cap_weight=cap_weight, use_pallas=True, nk=nk,
+        interpret=interpret, mode="exact",
     )
 
 
-def _integrate_pose_sharded_fwd(
-    vol, depth, camera, delta, mesh, nk, cap_weight, image_term, interpret
+def _integrate_core_sharded_fwd(
+    vol, depth, k, pose_inv, mesh, nk, cap_weight, image_term, interpret
 ):
-    out = _integrate_pose_sharded(
-        vol, depth, camera, delta, mesh, nk, cap_weight, image_term,
+    out = _integrate_core_sharded(
+        vol, depth, k, pose_inv, mesh, nk, cap_weight, image_term,
         interpret,
     )
-    return out, (vol, depth, camera, delta)
+    return out, (vol, depth, k, pose_inv)
 
 
-def _integrate_pose_sharded_bwd(
-    mesh, nk, cap_weight, image_term, interpret, res, g
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "nk", "cap_weight", "image_term", "interpret"),
+)
+def _pose_grad_sharded_jit(
+    vol, depth, k, pose_inv, gbar_d, gbar_w, *, mesh, nk, cap_weight,
+    image_term, interpret,
 ):
-    from ..kernels.integrate import (
-        _compose,
-        _pose_grad_pallas,
-        _zeros_cotangent,
-    )
+    from ..kernels.integrate import _cam_from_inv, _pose_grad_pallas
 
-    vol, depth, camera, delta = res
-    gvol, _gmiss = g
-    cam2 = _compose(camera, delta)
+    cam2 = _cam_from_inv(k, pose_inv)
     nb = mesh.shape["b"]
 
     def local(tsdf, weight, gbar_d, gbar_w, depth, cam, physical_size,
@@ -1074,12 +1085,12 @@ def _integrate_pose_sharded_bwd(
             tsdf, weight, None, physical_size, offset, trunc, max_weight,
             nb,
         )
-        dd, dw, dxi = _pose_grad_pallas(
+        dd, dw, dpinv = _pose_grad_pallas(
             lvol, depth, cam, gbar_d, gbar_w,
             nk=nk, cap_weight=cap_weight, image_term=image_term,
             interpret=interpret,
         )
-        return dd, dw, jax.lax.psum(dxi, "b")[None]
+        return dd, dw, jax.lax.psum(dpinv, "b")[None]
 
     fn = shard_map(
         local,
@@ -1090,26 +1101,35 @@ def _integrate_pose_sharded_bwd(
         out_specs=(P("b"), P("b"), P("b")),
         check_vma=False,
     )
-    dd, dw, dxi_b = fn(
+    dd, dw, dpinv_b = fn(
         vol.tsdf, vol.weight,
-        jnp.asarray(gvol.tsdf, jnp.float32),
-        jnp.asarray(gvol.weight, jnp.float32),
+        jnp.asarray(gbar_d, jnp.float32),
+        jnp.asarray(gbar_w, jnp.float32),
         depth, cam2, vol.physical_size, vol.offset,
         vol.truncation_distance, vol.max_weight,
     )
-    dxi = dxi_b[0]  # psum'd: every brick's copy is the total
+    return dd, dw, dpinv_b[0]  # psum'd: every brick holds the total
+
+
+def _integrate_core_sharded_bwd(
+    mesh, nk, cap_weight, image_term, interpret, res, g
+):
+    from ..kernels.integrate import _zeros_cotangent
+
+    vol, depth, k, pose_inv = res
+    gvol, _gmiss = g
+    dd, dw, dpinv = _pose_grad_sharded_jit(
+        vol, depth, k, pose_inv, gvol.tsdf, gvol.weight,
+        mesh=mesh, nk=nk, cap_weight=cap_weight,
+        image_term=image_term, interpret=interpret,
+    )
     vol_cot = jax.tree.map(_zeros_cotangent, vol)
     vol_cot = vol_cot.replace(
         tsdf=dd.astype(vol.tsdf.dtype), weight=dw.astype(vol.weight.dtype)
     )
-    return (
-        vol_cot,
-        jnp.zeros_like(depth),
-        jax.tree.map(_zeros_cotangent, camera),
-        dxi,
-    )
+    return vol_cot, jnp.zeros_like(depth), jnp.zeros_like(k), dpinv
 
 
-_integrate_pose_sharded.defvjp(
-    _integrate_pose_sharded_fwd, _integrate_pose_sharded_bwd
+_integrate_core_sharded.defvjp(
+    _integrate_core_sharded_fwd, _integrate_core_sharded_bwd
 )
