@@ -352,3 +352,29 @@ def test_update_deformation_rotated_camera():
     np.testing.assert_allclose(
         np.asarray(ref.deform), np.asarray(new_vol.deform), atol=1e-4
     )
+
+
+def test_fused_step_traces_at_512():
+    """512^3 non-rigid step ABSTRACT-evaluates (no compute): the
+    corner-fold scatter keeps the accumulator at 4 dense channels, so
+    the step's intermediates stay within HBM reach at 512^3 (the former
+    32-channel accumulator alone was ~17 GB there)."""
+    import jax
+
+    from tsdf_tpu.pipelines.scenefusion import _sf_step_pallas
+
+    vol = make_volume(
+        (512,) * 3, 5120.0, offset=(-2560.0, -2560.0, 0.0),
+        with_deformation=True,
+    )
+    depth = jnp.zeros((480, 640), jnp.float32)
+    flow = jnp.zeros((480, 640, 3), jnp.float32)
+    cam = Camera.default_depth_camera()
+    out = jax.eval_shape(
+        lambda v, d, f: _sf_step_pallas(
+            v, d, f, cam, max_cubes=1 << 18, nk=5,
+            threshold_mm=10.0, tpu_safe=True,
+        ),
+        vol, depth, flow,
+    )
+    assert out[0].tsdf.shape == (512, 512, 512)
