@@ -165,3 +165,73 @@ def test_banded_fallback_on_fast_motion():
     # true pose (the banded-only path returns ~identity here)
     dy = float(poses[-1][1, 3] - poses[0][1, 3])
     assert abs(dy - 220.0) < 80.0, dy
+
+
+def test_conv_eps_zero_matches_unrolled_schedule():
+    """conv_eps=0.0 must reproduce the reference's fixed 10/5/4 schedule
+    exactly: compare against a hand-unrolled Gauss-Newton loop built
+    from the same icp_step pieces (ref: ICPOdometry.cpp:99-134 always
+    runs every scheduled iteration)."""
+    import jax
+
+    from tsdf_tpu.tracking import icp_step
+    from tsdf_tpu.tracking.icp import depth_pyramid, level_intrinsics
+    from tsdf_tpu.utils.se3 import se3_exp
+
+    delta = jnp.eye(4).at[0:3, 3].set(jnp.array([12.0, -6.0, 4.0]))
+    _, _, d_prev, d_curr = _scene_depths(delta)
+
+    res = get_incremental_transformation(
+        d_curr, d_prev, FX, FY, CX, CY, conv_eps=0.0
+    )
+
+    # hand-unrolled reference loop (the pre-while_loop implementation)
+    pyr_c = depth_pyramid(jnp.asarray(d_curr, jnp.float32), 3)
+    pyr_p = depth_pyramid(jnp.asarray(d_prev, jnp.float32), 3)
+    maps = []
+    for lvl in range(3):
+        lfx, lfy, lcx, lcy = level_intrinsics(FX, FY, CX, CY, lvl)
+        vc = vertex_map(pyr_c[lvl], lfx, lfy, lcx, lcy)
+        vp = vertex_map(pyr_p[lvl], lfx, lfy, lcx, lcy)
+        maps.append(
+            (vc, normal_map(vc), vp, normal_map(vp), lfx, lfy, lcx, lcy)
+        )
+    pose = jnp.eye(4, dtype=jnp.float32)
+    for lvl in range(2, -1, -1):
+        vc, nc, vp, np_, lfx, lfy, lcx, lcy = maps[lvl]
+        for _ in range((10, 5, 4)[lvl]):
+            A, b, _rs, _inl = icp_step(
+                pose[0:3, 0:3], pose[0:3, 3], vc, nc, vp, np_,
+                lfx, lfy, lcx, lcy, 100.0, float(np.sin(np.deg2rad(20.0))),
+            )
+            A = A + 1e-6 * jnp.eye(6, dtype=jnp.float32)
+            update = jnp.linalg.solve(A, b)
+            update = jnp.where(jnp.isfinite(update), update, 0.0)
+            pose = se3_exp(jnp.concatenate([update[3:6], update[0:3]])) @ pose
+
+    np.testing.assert_allclose(
+        np.asarray(res.pose), np.asarray(pose), atol=1e-4
+    )
+
+
+def test_conv_eps_early_exit_tracks_slow_motion():
+    """A loose conv_eps must still recover slow motion to the same
+    accuracy as the full schedule (the skipped tail iterations are
+    identity updates)."""
+    delta = jnp.eye(4).at[0:3, 3].set(jnp.array([8.0, -5.0, 3.0]))
+    _, _, d_prev, d_curr = _scene_depths(delta)
+    full = get_incremental_transformation(
+        d_curr, d_prev, FX, FY, CX, CY, conv_eps=0.0
+    )
+    fast = get_incremental_transformation(
+        d_curr, d_prev, FX, FY, CX, CY, conv_eps=0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.pose)[:3, 3], np.asarray(full.pose)[:3, 3],
+        atol=0.3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.pose)[:3, :3], np.asarray(full.pose)[:3, :3],
+        atol=1e-3,
+    )
+    assert float(fast.inliers) > 1000

@@ -148,6 +148,7 @@ def cmd_fuse(args):
         width=args.width,
         height=args.height,
         use_pallas=args.pallas,
+        icp_conv_eps=args.icp_eps,
     )
     vol = cfg.make_volume()
     camera = _make_camera(args)
@@ -528,6 +529,12 @@ def main(argv=None):
     p.add_argument("--track", action="store_true", help="ICP tracking")
     p.add_argument("--filter", action="store_true", help="bilateral prefilter")
     p.add_argument("--pallas", action="store_true", help="TPU Pallas kernels")
+    p.add_argument(
+        "--icp-eps", type=float, default=0.0,
+        help="ICP early-exit threshold on the per-iteration update "
+        "(|v| mm + 1000*|w| rad); 0 = the reference's full 10/5/4 "
+        "schedule",
+    )
     p.add_argument(
         "--devices",
         help="BxR device mesh (brick x ray axes) — multi-chip fusion "

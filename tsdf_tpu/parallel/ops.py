@@ -486,6 +486,7 @@ def get_incremental_transformation_sharded(
     levels: int = 3,
     iterations: tuple[int, ...] = (10, 5, 4),
     band: int | None = None,
+    conv_eps: float = 0.0,
 ):
     """The FULL coarse-to-fine ICP pyramid on the device mesh.
 
@@ -560,22 +561,27 @@ def get_incremental_transformation_sharded(
         pose = jnp.eye(4, dtype=jnp.float32)
         err = jnp.array(0.0, jnp.float32)
         inl = jnp.array(0.0, jnp.float32)
+        eps = jnp.asarray(conv_eps, jnp.float32)
         for lvl in range(levels - 1, -1, -1):
             vc, nc, vp, np_, dp_prev, intr = maps[lvl]
             lfx, lfy, lcx, lcy = intr[0], intr[1], intr[2], intr[3]
             h_local = vc.shape[0]
-            for _ in range(iterations[lvl]):
+
+            def body(carry, _lvl=lvl, _vc=vc, _nc=nc, _vp=vp, _np=np_,
+                     _dp=dp_prev, _fx=lfx, _fy=lfy, _cx=lcx, _cy=lcy,
+                     _h=h_local):
+                i, pose, err, inl, _score = carry
                 if band is not None:
                     A, b, res_sq, inliers = icp_step_banded(
-                        pose[0:3, 0:3], pose[0:3, 3], vc, nc, dp_prev,
-                        lfx, lfy, lcx, lcy,
-                        band=max(band >> lvl, 8),
-                        row_offset=dev * h_local,
+                        pose[0:3, 0:3], pose[0:3, 3], _vc, _nc, _dp,
+                        _fx, _fy, _cx, _cy,
+                        band=max(band >> _lvl, 8),
+                        row_offset=dev * _h,
                     )
                 else:
                     A, b, res_sq, inliers = icp_step(
-                        pose[0:3, 0:3], pose[0:3, 3], vc, nc, vp, np_,
-                        lfx, lfy, lcx, lcy,
+                        pose[0:3, 0:3], pose[0:3, 3], _vc, _nc, _vp, _np,
+                        _fx, _fy, _cx, _cy,
                     )
                 A = jax.lax.psum(A, ("b", "r"))
                 b = jax.lax.psum(b, ("b", "r"))
@@ -590,7 +596,21 @@ def get_incremental_transformation_sharded(
                 )
                 pose = delta @ pose
                 err = jnp.sqrt(res_sq / jnp.maximum(inliers, 1.0))
-                inl = inliers
+                # the update (psum'd solve) is replicated, so every
+                # device takes the same branch — the early exit cannot
+                # deadlock the collectives
+                score = jnp.linalg.norm(update[0:3]) + 1000.0 * (
+                    jnp.linalg.norm(update[3:6])
+                )
+                return i + 1, pose, err, inliers, score
+
+            def cond(carry, _n=iterations[lvl]):
+                i, _pose, _err, _inl, score = carry
+                return (i < _n) & (score >= eps)
+
+            _, pose, err, inl, _ = jax.lax.while_loop(
+                cond, body, (0, pose, err, inl, jnp.float32(jnp.inf))
+            )
         return pose, err, inl
 
     shard = P(("b", "r"))
@@ -618,6 +638,7 @@ def track_and_fuse_frames_sharded(
     band: int | None = None,
     width: int = 640,
     height: int = 480,
+    conv_eps: float = 0.0,
 ):
     """Full tracked KinectFusion on the device mesh: bilateral
     (replicated) -> sharded ICP pyramid vs a sharded model render ->
@@ -650,7 +671,8 @@ def track_and_fuse_frames_sharded(
                 jnp.isfinite(verts).all(-1), cam_pts[..., 2], 0.0
             )
             res = get_incremental_transformation_sharded(
-                depth, model_depth, intr, mesh, band=band
+                depth, model_depth, intr, mesh, band=band,
+                conv_eps=conv_eps,
             )
             camera = camera.set_pose(camera.pose @ res.pose)
             stats.append((res.error, res.inliers))

@@ -57,6 +57,12 @@ class FusionConfig:
     # below this fraction of the image, the frame is re-tracked with the
     # exact full-image association before accepting the pose.
     icp_min_inliers_frac: float = 0.02
+    # ICP convergence early-exit: stop a pyramid level once the SE3
+    # update magnitude |v|_mm + 1000*|w|_rad falls below this. 0.0 (the
+    # default) runs the reference's full 10/5/4 schedule
+    # (ref: ICPOdometry.cpp:99-134); ~0.01 keeps sub-0.01 mm tracking
+    # while skipping the identity tail iterations on slow motion.
+    icp_conv_eps: float = 0.0
     # GT-pose fusion: lax.scan this many frames per dispatch. Through
     # the remote tunnel each dispatch costs ~1 ms and un-pipelined
     # per-frame dispatches were measured at 30 ms/frame for a 3.7 ms
@@ -323,7 +329,8 @@ def track_and_fuse_frames(
             vol, camera, width=config.width, height=config.height
         )
         res = get_incremental_transformation(
-            depth_icp, model_depth, fx, fy, cx, cy, band=None
+            depth_icp, model_depth, fx, fy, cx, cy, band=None,
+            conv_eps=config.icp_conv_eps,
         )
         # res.pose maps current-cam -> previous-cam coords;
         # new camera->world = prev pose o T_prev_curr
@@ -395,13 +402,15 @@ def _tracked_step_pallas(
     )
 
     res = get_incremental_transformation(
-        depth_icp, model_depth, fx, fy, cx, cy, band=band
+        depth_icp, model_depth, fx, fy, cx, cy, band=band,
+        conv_eps=config.icp_conv_eps,
     )
     if band is not None:
 
         def exact(_):
             r = get_incremental_transformation(
-                depth_icp, model_depth, fx, fy, cx, cy, band=None
+                depth_icp, model_depth, fx, fy, cx, cy, band=None,
+                conv_eps=config.icp_conv_eps,
             )
             return r.pose, r.error, r.inliers
 

@@ -371,12 +371,22 @@ def get_incremental_transformation(
     angle_thresh: float = ANGLE_THRESH,
     band: int | None = None,
     adaptive: bool = True,
+    conv_eps: float = 0.0,
 ) -> ICPResult:
     """Full coarse-to-fine ICP between two depth frames.
 
     ``band``: use the banded TPU-fast correspondence lookup
     (icp_step_banded) with this level-0 row band; None = the exact
     reference path (icp_step).
+
+    ``conv_eps``: early-exit threshold on the per-iteration SE3 update
+    magnitude ``|v|_mm + 1000 * |w|_rad`` (a 1 m lever arm makes the
+    rotation term commensurate with millimetres). Each level runs its
+    scheduled iteration count but stops as soon as an update falls
+    below the threshold — on slow motion the 10/5/4 schedule converges
+    in a few iterations and the rest are identity updates. 0.0 (the
+    default) reproduces the reference's fixed schedule exactly
+    (ref: ICPOdometry.cpp:99-134 always runs all iterations).
 
     Returns T_prev_curr: maps current-camera points into the previous
     camera frame (ref: ICPOdometry::getIncrementalTransformation
@@ -401,21 +411,26 @@ def get_incremental_transformation(
     err = jnp.array(0.0, jnp.float32)
     inl = jnp.array(0.0, jnp.float32)
 
+    eps = jnp.asarray(conv_eps, jnp.float32)
+
     for lvl in range(levels - 1, -1, -1):
         vc, nc, vp, np_, lfx, lfy, lcx, lcy = maps[lvl]
-        for _ in range(iterations[lvl]):
+
+        def body(carry, _lvl=lvl, _vc=vc, _nc=nc, _vp=vp, _np=np_,
+                 _fx=lfx, _fy=lfy, _cx=lcx, _cy=lcy):
+            i, pose, err, inl, _score = carry
             if band is not None:
                 A, b, res_sq, inliers = icp_step_banded(
-                    pose[0:3, 0:3], pose[0:3, 3], vc, nc, pyr_p[lvl],
-                    lfx, lfy, lcx, lcy,
-                    band=max(band >> lvl, 8),
+                    pose[0:3, 0:3], pose[0:3, 3], _vc, _nc, pyr_p[_lvl],
+                    _fx, _fy, _cx, _cy,
+                    band=max(band >> _lvl, 8),
                     dist_thresh=dist_thresh, angle_thresh=angle_thresh,
                     adaptive=adaptive,
                 )
             else:
                 A, b, res_sq, inliers = icp_step(
-                    pose[0:3, 0:3], pose[0:3, 3], vc, nc, vp, np_,
-                    lfx, lfy, lcx, lcy, dist_thresh, angle_thresh,
+                    pose[0:3, 0:3], pose[0:3, 3], _vc, _nc, _vp, _np,
+                    _fx, _fy, _cx, _cy, dist_thresh, angle_thresh,
                 )
             # LDLT solve with mild damping for rank-deficient scenes
             A = A + 1e-6 * jnp.eye(6, dtype=jnp.float32)
@@ -426,5 +441,16 @@ def get_incremental_transformation(
             )
             pose = delta @ pose
             err = jnp.sqrt(res_sq / jnp.maximum(inliers, 1.0))
-            inl = inliers
+            score = jnp.linalg.norm(update[0:3]) + 1000.0 * jnp.linalg.norm(
+                update[3:6]
+            )
+            return i + 1, pose, err, inliers, score
+
+        def cond(carry, _n=iterations[lvl]):
+            i, _pose, _err, _inl, score = carry
+            return (i < _n) & (score >= eps)
+
+        _, pose, err, inl, _ = jax.lax.while_loop(
+            cond, body, (0, pose, err, inl, jnp.float32(jnp.inf))
+        )
     return ICPResult(pose=pose, error=err, inliers=inl)
