@@ -273,6 +273,24 @@ def main():
     except Exception as e:
         _note(f"colour integrate failed: {type(e).__name__}: {e}")
 
+    # Bilateral pre-filter: lax stencil vs the VMEM-resident Pallas
+    # kernel (bit-equal outputs; the kernel makes one HBM pass).
+    dt_bilat = None
+    dt_bilat_lax = None
+    try:
+        from tsdf_tpu.kernels.bilateral import bilateral_filter_pallas
+        from tsdf_tpu.ops.bilateral import bilateral_filter
+
+        _note("bilateral warmup/compile")
+        dt_bilat = _bench(bilateral_filter_pallas, depth, iters=20)
+        dt_bilat_lax = _bench(bilateral_filter, depth, iters=20)
+        _note(
+            f"bilateral done: pallas {dt_bilat*1e3:.2f} ms, "
+            f"lax {dt_bilat_lax*1e3:.2f} ms"
+        )
+    except Exception as e:
+        _note(f"bilateral failed: {type(e).__name__}: {e}")
+
     # Full tracked KinectFusion loop (bilateral + banded ICP vs model
     # render + integrate) at 256^3 — the BASELINE config-3 shape.
     kinfu_ms = None
@@ -423,6 +441,12 @@ def main():
                     ),
                     "integrate_pose_bwd_ms": (
                         dt_pgrad * 1e3 if dt_pgrad else None
+                    ),
+                    "bilateral_ms": (
+                        dt_bilat * 1e3 if dt_bilat else None
+                    ),
+                    "bilateral_lax_ms": (
+                        dt_bilat_lax * 1e3 if dt_bilat_lax else None
                     ),
                     "kinfu_tracked_ms_256": kinfu_ms,
                     "scenefusion_ms_255": sf_ms,

@@ -265,3 +265,17 @@ def test_integrate_pose_adjoint_compiled():
     g_k = np.asarray(jax.grad(loss)(jnp.zeros(6)))
     g_l = np.asarray(pose_gradient_lax(vol, depth, cam, gbar))
     np.testing.assert_allclose(g_k, g_l, rtol=2e-3, atol=1e-2)
+
+
+def test_bilateral_compiled_matches_lax():
+    """Compiled Mosaic bilateral stencil == the lax path on device."""
+    from tsdf_tpu.kernels.bilateral import bilateral_filter_pallas
+    from tsdf_tpu.ops.bilateral import bilateral_filter
+
+    rng = np.random.default_rng(11)
+    d = rng.uniform(400.0, 4000.0, (480, 640))
+    d[rng.uniform(size=d.shape) < 0.1] = 0.0
+    d = jnp.asarray(d, jnp.float32)
+    a = np.asarray(bilateral_filter(d))
+    b = np.asarray(bilateral_filter_pallas(d))
+    np.testing.assert_allclose(a, b, atol=1e-3)

@@ -8,6 +8,7 @@ these kernels restructure the memory access into the per-vreg
 128, sublane-gather at height 8).
 """
 
+from .bilateral import bilateral_filter_pallas
 from .integrate import (
     integrate_auto,
     integrate_pallas,
@@ -17,6 +18,7 @@ from .integrate import (
 )
 
 __all__ = [
+    "bilateral_filter_pallas",
     "integrate_pallas",
     "integrate_auto",
     "integrate_color_pallas",

@@ -383,10 +383,14 @@ def _tracked_step_pallas(
     # feeds the TRACKER only; the raw depth is fused. Fusing the
     # filtered frame bakes smoothing bias into the model the next frame
     # tracks against, and the TSDF's weighted average is itself the
-    # noise filter.
+    # noise filter. The Pallas stencil is bit-equal to ops.bilateral
+    # and keeps the whole (2r+1)^2 tap loop in VMEM (one HBM pass).
     if config.use_bilateral_filter:
-        depth_icp = bilateral_filter(
-            depth, config.sigma_colour, config.sigma_space
+        from ..kernels.bilateral import bilateral_filter_pallas
+
+        depth_icp = bilateral_filter_pallas(
+            depth, config.sigma_colour, config.sigma_space,
+            interpret=interpret,
         )
     else:
         depth_icp = depth
