@@ -186,3 +186,32 @@ def test_scatter_fold_offsets_matches_naive():
             if 0 <= t < n:
                 ref[:, t] += val[2 * g : 2 * g + 2, c]
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4)
+
+
+def test_sorted_hint_with_leading_sentinels():
+    """is_sorted=True with out-of-range sentinels anywhere in the stream
+    must still drop ONLY the sentinels (the hint is verified and falls
+    back to sorting when the remapped stream is not monotone)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tsdf_tpu.ops.scatter import scatter_add_flat
+
+    out = scatter_add_flat(
+        10, jnp.array([-1, -1, 3, 7]), jnp.ones(4), is_sorted=True
+    )
+    expect = np.zeros(10)
+    expect[3] = expect[7] = 1.0
+    np.testing.assert_array_equal(np.asarray(out), expect)
+
+    # interspersed invalids, multi-channel
+    out2 = scatter_add_flat(
+        6,
+        jnp.array([0, -5, 2, 99, 2]),
+        jnp.stack([jnp.ones(5), 2.0 * jnp.ones(5)]),
+        is_sorted=True,
+    )
+    expect2 = np.zeros((2, 6))
+    expect2[:, 0] = (1, 2)
+    expect2[:, 2] = (2, 4)
+    np.testing.assert_array_equal(np.asarray(out2), expect2)

@@ -378,3 +378,32 @@ def test_fused_step_traces_at_512():
         vol, depth, flow,
     )
     assert out[0].tsdf.shape == (512, 512, 512)
+
+
+def test_scenefusion_prewarm_fallback(tmp_path):
+    """prewarm_fallback AOT-compiles the use_chunked=False variant up
+    front; the run must behave identically."""
+    vol, cam, depth = _sphere_setup()
+    d = np.asarray(depth)
+    for i in range(2):
+        save_png(tmp_path / f"depth_{i:05d}.png", d.astype(np.uint16))
+    _write_pdflow(tmp_path / "sflow_00000_results01.txt", H, W, (5.0, 0, 0))
+    _write_pdflow(tmp_path / "sflow_00001_results01.txt", H, W, (5.0, 0, 0))
+
+    sfa = PDSFMockSceneFlow(str(tmp_path))
+    assert sfa.init()
+    dev = MockKinect(str(tmp_path))
+    dev.initialise()
+    cfg = SceneFusionConfig(
+        volume_size=(48, 48, 48),
+        physical_size_mm=1500.0,
+        offset_mm=(-750.0, -750.0, 0.0),
+        max_cubes=1 << 14,
+        max_vertices=1 << 16,
+        prewarm_fallback=True,
+    )
+    sf = SceneFusion(sfa, dev, cfg, camera=cam)
+    dev.start()
+    assert sf.frame_index == 2
+    assert sf._fallback_warmed
+    assert float(jnp.sum(sf.volume.weight)) > 0

@@ -725,9 +725,16 @@ def soup_to_numpy(soup: TriangleSoup):
     n = int(soup.n_vertices)
     valid = np.asarray(soup.valid)
     verts_all = np.asarray(soup.vertices)
-    if valid[:n].all():  # dense layout
+    if n <= len(verts_all) and valid[:n].all():  # dense layout
         verts = verts_all[:n]
     else:
         verts = verts_all[valid][:n]
-    tris = np.arange(n - n % 3, dtype=np.int32).reshape(-1, 3)
+    # An overflowed masked soup counts n_vertices over the FULL cube
+    # grid while only max_cubes slots were captured: clamp so the
+    # triangle list never references vertices that were not emitted
+    # (callers should check soup.overflowed and re-extract; this keeps
+    # the PLY well-formed either way).
+    n = min(n, len(verts)) // 3 * 3
+    verts = verts[:n]
+    tris = np.arange(n, dtype=np.int32).reshape(-1, 3)
     return verts, tris

@@ -128,6 +128,27 @@ def scatter_add_flat(
     if not is_sorted:
         lin, *vs = jax.lax.sort([lin] + list(vals), num_keys=1)
         vals = jnp.stack(vs)
+    elif C > 1:
+        # ``is_sorted`` is a HINT, not a trusted contract: out-of-range
+        # entries remap to the tail sentinel above, which breaks
+        # monotonicity when a caller passes leading/interspersed
+        # sentinels (e.g. -1 for masked slots) — and the windowed walk
+        # below treats the first sentinel as a stream TERMINATOR,
+        # silently dropping everything after it. An O(C) monotonicity
+        # check falls back to the sort when the hint is wrong, so the
+        # documented "out-of-range entries are dropped" semantics hold
+        # on every path.
+        ok = jnp.all(lin[1:] >= lin[:-1])
+
+        def _trust(args):
+            return args
+
+        def _sort(args):
+            l, v = args
+            l, *vs = jax.lax.sort([l] + list(v), num_keys=1)
+            return l, jnp.stack(vs)
+
+        lin, vals = jax.lax.cond(ok, _trust, _sort, (lin, vals))
 
     # pad so the cursor's dynamic window never reads out of bounds
     lin = jnp.concatenate([lin, jnp.full((K,), nr * _LANE, jnp.int32)])

@@ -755,6 +755,10 @@ def extract_surface_sharded(
             max_vertices=max_vertices_per_brick,
             n_cube_z=n_cube_z,
             voxel_index_base=z0 * (Y * X),
+            # on a real TPU mesh each brick must take the sort/matmul
+            # compaction — the XLA scatter/gather path is pathological
+            # on-device (the CPU test mesh hides this)
+            tpu_safe=jax.default_backend() == "tpu",
         )
         return (
             soup.vertices[None],

@@ -64,6 +64,14 @@ class SceneFusionConfig:
     # observation is ever lost.
     use_pallas: bool = True
     integrate_nk: int = 5
+    # AOT-compile the use_chunked=False overflow-fallback step variant
+    # before the first frame (lower+compile, no execution). The first
+    # chunk-cap overflow otherwise traces and remote-compiles a second
+    # full fused-step graph MID-RUN — with an RGBD observer attached,
+    # frames back up for the (erratic, seconds-to-minutes) compile.
+    # Off by default: it costs one extra upfront compile even for runs
+    # that never overflow.
+    prewarm_fallback: bool = False
 
     def make_volume(self) -> TSDFVolume:
         return make_volume(
@@ -86,7 +94,12 @@ def _slot_correspondence(
     depth agrees within the threshold (ref: SceneFusion_krnl.cu:74-114).
     Returns (corr mask, per-vertex flow zeroed on non-corresponding)."""
     h, w = depth.shape
-    pix = camera.world_to_pixel(verts)  # (N, 2) rounded
+    # one world_to_camera for both the projection and the depth gate
+    # (bit-identical to camera.world_to_pixel, which is cam @ K.T +
+    # perspective divide + round)
+    cam_pts = camera.world_to_camera(verts)  # (N, 3)
+    img_h = cam_pts @ camera.k.T
+    pix = jnp.round(img_h[..., 0:2] / img_h[..., 2:3])  # (N, 2)
     px = pix[..., 0].astype(jnp.int32)
     py = pix[..., 1].astype(jnp.int32)
     in_img = (px >= 0) & (px < w) & (py >= 0) & (py < h) & slot_valid
@@ -140,7 +153,7 @@ def _slot_correspondence(
     # into the image (both pixel signs flip back in range), so gate on
     # cam_z > 0 — the same behind-camera gate ops/integrate.py applies
     # to the ungated reference projection.
-    cam_z = camera.world_to_camera(verts)[..., 2]
+    cam_z = cam_pts[..., 2]
     corr = (
         in_img
         & (d > 0)
@@ -446,6 +459,7 @@ class SceneFusion:
         self.frame_index = 0
         self.dump_every = dump_every
         self.dump_dir = dump_dir
+        self._fallback_warmed = False
         device.add_observer(self.process_frames)
 
     def process_frames(self, depth, colour=None):
@@ -484,6 +498,22 @@ class SceneFusion:
         elif self.last_depth is not None and cfg.use_pallas:
             _t, _r, flow = self.sfa.compute_scene_flow(depth, colour)
             tpu_safe = jax.default_backend() == "tpu"
+            if cfg.prewarm_fallback and not self._fallback_warmed:
+                # AOT lower+compile (no execution) of the overflow
+                # fallback so a mid-run chunk-cap overflow swaps to an
+                # already-compiled graph instead of stalling the loop
+                self._fallback_warmed = True
+                _sf_step_pallas.lower(
+                    self.volume,
+                    jnp.asarray(depth, jnp.float32),
+                    jnp.asarray(flow, jnp.float32),
+                    self.camera,
+                    max_cubes=cfg.max_cubes,
+                    nk=cfg.integrate_nk,
+                    threshold_mm=cfg.threshold_mm,
+                    tpu_safe=tpu_safe,
+                    use_chunked=False,
+                ).compile()
             vol, miss, _n, overflow = _sf_step_pallas(
                 self.volume,
                 jnp.asarray(depth, jnp.float32),
@@ -494,7 +524,11 @@ class SceneFusion:
                 threshold_mm=cfg.threshold_mm,
                 tpu_safe=tpu_safe,
             )
-            if tpu_safe and bool(overflow):
+            # ONE blocking D2H for both per-frame scalars — each read
+            # through the remote tunnel costs a full round-trip, so the
+            # miss/overflow pair must not sync twice
+            miss_h, overflow_h = jax.device_get((miss, overflow))
+            if tpu_safe and bool(overflow_h):
                 # The chunked compaction's active-chunk cap truncated
                 # the mesh: redo the frame through the full-volume sort
                 # compaction (slower, but its only cap is max_cubes).
@@ -509,7 +543,8 @@ class SceneFusion:
                     tpu_safe=tpu_safe,
                     use_chunked=False,
                 )
-            if bool(overflow):
+                miss_h, overflow_h = jax.device_get((miss, overflow))
+            if bool(overflow_h):
                 import warnings
 
                 warnings.warn(
@@ -519,7 +554,7 @@ class SceneFusion:
                     "SceneFusionConfig.max_cubes",
                     stacklevel=2,
                 )
-            if int(miss) == 0:
+            if int(miss_h) == 0:
                 self.volume = vol
             else:
                 # integrate skipped voxels: redo through the lax path on
