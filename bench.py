@@ -294,6 +294,7 @@ def main():
     # Full tracked KinectFusion loop (bilateral + banded ICP vs model
     # render + integrate) at 256^3 — the BASELINE config-3 shape.
     kinfu_ms = None
+    kinfu_eps_ms = None
     try:
         from tsdf_tpu.pipelines import FusionConfig, track_and_fuse_frames
 
@@ -350,6 +351,28 @@ def main():
             )
         kinfu_ms = float(np.median(per_frame))
         _note(f"kinfu done: {per_frame}")
+
+        # A/B: the ICP convergence early-exit (conv_eps) — slow motion
+        # converges in a few Gauss-Newton iterations, the rest of the
+        # 10/5/4 schedule is identity updates
+        cfg_eps = FusionConfig(
+            width=width, height=height, use_pallas=True,
+            use_bilateral_filter=True, icp_conv_eps=0.02,
+        )
+        v2, *_ = track_and_fuse_frames(kvol, cams[0], frames[:2], cfg_eps)
+        _sync(v2.weight)
+        per_frame_eps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            vfin, *_ = track_and_fuse_frames(
+                kvol, cams[0], frames, cfg_eps
+            )
+            _sync(vfin.weight)
+            per_frame_eps.append(
+                (time.perf_counter() - t0) / len(frames) * 1e3
+            )
+        kinfu_eps_ms = float(np.median(per_frame_eps))
+        _note(f"kinfu eps done: {per_frame_eps}")
     except Exception as e:
         _note(f"kinfu failed: {type(e).__name__}: {e}")
         kinfu_ms = None
@@ -449,6 +472,7 @@ def main():
                         dt_bilat_lax * 1e3 if dt_bilat_lax else None
                     ),
                     "kinfu_tracked_ms_256": kinfu_ms,
+                    "kinfu_tracked_eps_ms_256": kinfu_eps_ms,
                     "scenefusion_ms_255": sf_ms,
                     "grid": grid,
                     "device": str(jax.devices()[0]),

@@ -206,3 +206,20 @@ def test_sharded_pose_diff_rejects_deformed():
     cam = Camera.from_intrinsics(30.0, 30.0, 16.0, 12.0)
     with pytest.raises(ValueError, match="rigid"):
         integrate_pose_sharded(vs, depth, cam, jnp.zeros(6), mesh)
+
+
+def test_passthrough_cotangents_flow():
+    """Fields the fusion returns unchanged (offset, trunc, max_weight,
+    ...) must pass their output cotangent through — a loss reading them
+    off the fused volume gets the identity gradient, not silent zero."""
+    vol, cam, depth, _gbar = _setup()
+
+    def loss(v):
+        out, _miss = integrate_pose(
+            vol.replace(truncation_distance=v), depth, cam,
+            jnp.zeros(6), interpret=True,
+        )
+        return 2.0 * out.truncation_distance
+
+    g = jax.grad(loss)(vol.truncation_distance)
+    np.testing.assert_allclose(float(g), 2.0)

@@ -198,3 +198,48 @@ def test_track_and_fuse_color_frames():
     cols = np.asarray(out.color)[fused]
     assert fused.sum() > 100
     assert (np.abs(cols.astype(np.int32) - [30, 180, 90]).max(-1) <= 1).mean() > 0.8
+
+
+def test_tracking_lost_frame_not_fused_or_applied():
+    """A frame with no usable depth (tracking lost even under exact
+    association) must neither move the camera nor be fused — on the
+    exact path too (icp_band=0), not just the banded one."""
+    import jax.numpy as jnp
+
+    scene = _gt_scene()
+    cams = _trajectory(2)
+    good = render_to_depth_image(scene, cams[0], width=W, height=H)
+    dead = jnp.zeros((H, W), jnp.float32)  # no data at all
+    vol = make_volume((64, 64, 64), 2000.0, offset=(-1000.0, -1000.0, 0.0))
+    cfg = FusionConfig(
+        width=W, height=H, use_pallas=True, icp_band=0,  # exact path
+        icp_min_inliers_frac=0.02,
+    )
+    vol2, cam, poses, stats = track_and_fuse_frames(
+        vol, cams[0], [good, dead], cfg
+    )
+    # camera stayed put
+    np.testing.assert_allclose(
+        np.asarray(poses[1]), np.asarray(poses[0]), atol=1e-5
+    )
+    # the dead frame added no weight anywhere
+    w_after_first, _ = None, None
+    vol1, *_ = track_and_fuse_frames(vol, cams[0], [good], cfg)
+    np.testing.assert_allclose(
+        np.asarray(vol2.weight), np.asarray(vol1.weight)
+    )
+
+
+def test_deform_volume_rejected_by_pallas_tracked_loop():
+    import pytest
+
+    vol = make_volume(
+        (32,) * 3, 1000.0, offset=(-500.0, -500.0, 0.0),
+        with_deformation=True,
+    )
+    cams = _trajectory(1)
+    cfg = FusionConfig(width=W, height=H, use_pallas=True)
+    with pytest.raises(ValueError, match="deformation"):
+        track_and_fuse_frames(
+            vol, cams[0], [np.zeros((H, W), np.float32)], cfg
+        )

@@ -115,6 +115,110 @@ def _fit_column_lines(
     return alpha, beta
 
 
+def _unpack_params(params_ref):
+    """Unpack the shared (1, 24) SMEM row (see _pack_params). Returns
+    (pose_inv rows, intrinsics, offset, voxel size, trunc, max_weight)
+    — ONE unpacking for all four kernels so the layout cannot drift."""
+    p = params_ref
+    rows = (
+        (p[0, 0], p[0, 1], p[0, 2], p[0, 3]),
+        (p[0, 4], p[0, 5], p[0, 6], p[0, 7]),
+        (p[0, 8], p[0, 9], p[0, 10], p[0, 11]),
+    )
+    intr = (p[0, 12], p[0, 13], p[0, 14], p[0, 15])
+    off = (p[0, 16], p[0, 17], p[0, 18])
+    vs = (p[0, 19], p[0, 20], p[0, 21])
+    return rows, intr, off, vs, p[0, 22], p[0, 23]
+
+
+def _rigid_prologue(params_ref, *, Y, BX, Yr, Xr, Hr, Wr):
+    """Shared prologue of the three rigid kernels (forward, colour,
+    pose-adjoint): param unpack, exact per-voxel projection of the
+    lattice centres, frustum/validity gate, per-column image line fit,
+    and the pass-1/pass-2 index planes. The custom VJP depends on the
+    adjoint kernel gating EXACTLY like the forward — keeping this in
+    one place makes the gates bit-identical by construction.
+
+    Returns a dict of everything the update/adjoint bodies need."""
+    z = pl.program_id(0)
+    xb = pl.program_id(1)
+    rows, intr, off, vs, trunc, max_weight = _unpack_params(params_ref)
+    (r00, r01, r02, t0), (r10, r11, r12, t1), (r20, r21, r22, t2) = rows
+    fx, fy, cx0, cy0 = intr
+    off_x, off_y, off_z = off
+    vs_x, vs_y, vs_z = vs
+
+    zf = z.astype(jnp.float32)
+    cz = off_z + (zf + 0.5) * vs_z
+    x0 = (xb * BX).astype(jnp.float32)
+
+    # --- exact per-voxel projection (Y, BX) ------------------------------
+    xv_i = jax.lax.broadcasted_iota(jnp.int32, (Y, BX), 1)
+    yv_i = jax.lax.broadcasted_iota(jnp.int32, (Y, BX), 0)
+    xv = xv_i.astype(jnp.float32) + x0
+    yv = yv_i.astype(jnp.float32)
+    # real (unpadded) voxels only; padded lanes never update or count
+    vox_valid = (xv_i + xb * BX < Xr) & (yv_i < Yr)
+    wx = off_x + (xv + 0.5) * vs_x
+    wy = off_y + (yv + 0.5) * vs_y
+    kx = r02 * cz + t0
+    ky = r12 * cz + t1
+    kz = r22 * cz + t2
+    Xc = r00 * wx + r01 * wy + kx
+    Yc = r10 * wx + r11 * wy + ky
+    Zc = r20 * wx + r21 * wy + kz
+    px = fx * Xc / Zc + cx0
+    py = fy * Yc / Zc + cy0
+    px = jnp.where(jnp.isfinite(px), jnp.clip(px, -_BIG, _BIG), -1.0)
+    py = jnp.where(jnp.isfinite(py), jnp.clip(py, -_BIG, _BIG), -1.0)
+    pxr = jnp.round(px).astype(jnp.int32)
+    pyr = jnp.round(py).astype(jnp.int32)
+    in_img = (
+        (pxr >= 0) & (pxr < Wr) & (pyr >= 0) & (pyr < Hr) & vox_valid
+    )
+
+    # --- per-column image line px = alpha + beta * py (1, BX) ------------
+    wx_row = off_x + (
+        jax.lax.broadcasted_iota(jnp.int32, (1, BX), 1).astype(jnp.float32)
+        + x0
+        + 0.5
+    ) * vs_x
+    wyA = off_y + 0.5 * vs_y
+    wyB = off_y + (Y - 0.5) * vs_y
+    alpha, beta = _fit_column_lines(
+        r00, r01, r10, r11, r20, r21, kx, ky, kz, fx, fy, cx0, cy0,
+        wx_row, wyA, wyB,
+    )
+
+    return dict(
+        rows=rows, intr=intr, off=off, vs=vs,
+        trunc=trunc, max_weight=max_weight,
+        cz=cz, wx=wx, wy=wy, vox_valid=vox_valid,
+        Xc=Xc, Yc=Yc, Zc=Zc, pxr=pxr, pyr=pyr, in_img=in_img,
+        alpha=alpha, beta=beta,
+    )
+
+
+def _pass1_index(alpha, beta, Hp, BX):
+    """Pass-1 candidate base column per (image row, voxel column)."""
+    y_img = jax.lax.broadcasted_iota(jnp.int32, (Hp, BX), 0).astype(
+        jnp.float32
+    )
+    return jnp.round(jnp.clip(alpha + beta * y_img, -_BIG, _BIG)).astype(
+        jnp.int32
+    )
+
+
+def _pass2_index(alpha, beta, pyr, Hp):
+    """Pass-2 row index (transposed, gather-safe) + the candidate base
+    column evaluated at the fetched row."""
+    pyrT = jnp.clip(pyr, 0, Hp - 1).T
+    c0r = jnp.round(
+        jnp.clip(alpha + beta * pyr.astype(jnp.float32), -_BIG, _BIG)
+    ).astype(jnp.int32)
+    return pyrT, c0r
+
+
 def _pass1_gather(tables, c0, nk, BX, Hp, Wp):
     """Pass 1 of the line-warp lookup for N tables sharing the index
     math: tmps[k][t][y_img, x] = tables[t][y_img, c0[y_img, x] + ko],
@@ -203,78 +307,18 @@ def _kernel(
     cap_weight: bool,
     line_mode: bool = False,
 ):
-    z = pl.program_id(0)
-    xb = pl.program_id(1)
-
-    p = params_ref
-    r00, r01, r02, t0 = p[0, 0], p[0, 1], p[0, 2], p[0, 3]
-    r10, r11, r12, t1 = p[0, 4], p[0, 5], p[0, 6], p[0, 7]
-    r20, r21, r22, t2 = p[0, 8], p[0, 9], p[0, 10], p[0, 11]
-    fx, fy, cx0, cy0 = p[0, 12], p[0, 13], p[0, 14], p[0, 15]
-    off_x, off_y, off_z = p[0, 16], p[0, 17], p[0, 18]
-    vs_x, vs_y, vs_z = p[0, 19], p[0, 20], p[0, 21]
-    trunc = p[0, 22]
-    max_weight = p[0, 23]
-
-    zf = z.astype(jnp.float32)
-    cz = off_z + (zf + 0.5) * vs_z
-    x0 = (xb * BX).astype(jnp.float32)
-
-    # --- exact per-voxel projection (Y, BX) ------------------------------
-    xv_i = jax.lax.broadcasted_iota(jnp.int32, (Y, BX), 1)
-    yv_i = jax.lax.broadcasted_iota(jnp.int32, (Y, BX), 0)
-    xv = xv_i.astype(jnp.float32) + x0
-    yv = yv_i.astype(jnp.float32)
-    # real (unpadded) voxels only; padded lanes never update or count
-    vox_valid = (xv_i + pl.program_id(1) * BX < Xr) & (yv_i < Yr)
-    wx = off_x + (xv + 0.5) * vs_x
-    wy = off_y + (yv + 0.5) * vs_y
-    kx = r02 * cz + t0
-    ky = r12 * cz + t1
-    kz = r22 * cz + t2
-    Xc = r00 * wx + r01 * wy + kx
-    Yc = r10 * wx + r11 * wy + ky
-    Zc = r20 * wx + r21 * wy + kz
-    px = fx * Xc / Zc + cx0
-    py = fy * Yc / Zc + cy0
-    px = jnp.where(jnp.isfinite(px), jnp.clip(px, -_BIG, _BIG), -1.0)
-    py = jnp.where(jnp.isfinite(py), jnp.clip(py, -_BIG, _BIG), -1.0)
-    pxr = jnp.round(px).astype(jnp.int32)
-    pyr = jnp.round(py).astype(jnp.int32)
-    in_img = (
-        (pxr >= 0) & (pxr < Wr) & (pyr >= 0) & (pyr < Hr) & vox_valid
-    )
-
-    # --- per-column image line px = alpha + beta * py (1, BX) ------------
-    wx_row = off_x + (
-        jax.lax.broadcasted_iota(jnp.int32, (1, BX), 1).astype(jnp.float32)
-        + x0
-        + 0.5
-    ) * vs_x
-    wyA = off_y + 0.5 * vs_y
-    wyB = off_y + (Y - 0.5) * vs_y
-    alpha, beta = _fit_column_lines(
-        r00, r01, r10, r11, r20, r21, kx, ky, kz, fx, fy, cx0, cy0,
-        wx_row, wyA, wyB,
-    )
+    pro = _rigid_prologue(params_ref, Y=Y, BX=BX, Yr=Yr, Xr=Xr, Hr=Hr, Wr=Wr)
+    trunc, max_weight = pro["trunc"], pro["max_weight"]
+    Zc, pxr, pyr, in_img = pro["Zc"], pro["pxr"], pro["pyr"], pro["in_img"]
+    alpha, beta, vox_valid = pro["alpha"], pro["beta"], pro["vox_valid"]
 
     # --- pass 1: tmp_k[y_img, x] = depth[y_img, c0 + ko] -----------------
-    y_img = jax.lax.broadcasted_iota(jnp.int32, (Hp, BX), 0).astype(
-        jnp.float32
-    )
-    cf = alpha + beta * y_img  # (Hp, BX) — alpha/beta broadcast over rows
-    c0 = jnp.round(jnp.clip(cf, -_BIG, _BIG)).astype(jnp.int32)
-
+    c0 = _pass1_index(alpha, beta, Hp, BX)
     depth_full = depth_ref[...]  # (Hp, Wp)
     tmps = _pass1_gather((depth_full,), c0, nk, BX, Hp, Wp)
 
     # --- pass 2: val_k[y, x] = tmp_k[pyr, x], then exact-column select ---
-    pyr_g = jnp.clip(pyr, 0, Hp - 1)  # gather-safe row index
-    pyrT = pyr_g.T  # (BX, Y)
-
-    c0r = jnp.round(
-        jnp.clip(alpha + beta * pyr.astype(jnp.float32), -_BIG, _BIG)
-    ).astype(jnp.int32)  # (Y, BX) candidate base column at the fetched row
+    pyrT, c0r = _pass2_index(alpha, beta, pyr, Hp)
 
     if line_mode:
         # Line mode: the projection of a voxel column IS a straight
@@ -359,25 +403,16 @@ def _kernel_warped(
     (exact-or-skip, as the rigid kernel): callers escalate nk or fall
     back to the lax path on a nonzero count.
     """
-    z = pl.program_id(0)
-
-    p = params_ref
-    r00, r01, r02, t0 = p[0, 0], p[0, 1], p[0, 2], p[0, 3]
-    r10, r11, r12, t1 = p[0, 4], p[0, 5], p[0, 6], p[0, 7]
-    r20, r21, r22, t2 = p[0, 8], p[0, 9], p[0, 10], p[0, 11]
-    fx, fy, cx0, cy0 = p[0, 12], p[0, 13], p[0, 14], p[0, 15]
-    off_x, off_y, off_z = p[0, 16], p[0, 17], p[0, 18]
-    vs_x, vs_y, vs_z = p[0, 19], p[0, 20], p[0, 21]
-    trunc = p[0, 22]
-    max_weight = p[0, 23]
-
-    zf = z.astype(jnp.float32)
-    cz = off_z + (zf + 0.5) * vs_z
-    x0 = (pl.program_id(1) * BX).astype(jnp.float32)
-
-    xv_i = jax.lax.broadcasted_iota(jnp.int32, (Y, BX), 1)
-    yv_i = jax.lax.broadcasted_iota(jnp.int32, (Y, BX), 0)
-    vox_valid = (xv_i + pl.program_id(1) * BX < Xr) & (yv_i < Yr)
+    # shared prologue computes the rigid lattice projection/line; only
+    # the per-voxel projection is redone below on the DEFORMED centres
+    pro = _rigid_prologue(params_ref, Y=Y, BX=BX, Yr=Yr, Xr=Xr, Hr=Hr, Wr=Wr)
+    trunc, max_weight = pro["trunc"], pro["max_weight"]
+    vox_valid = pro["vox_valid"]
+    alpha, beta = pro["alpha"], pro["beta"]
+    (r00, r01, r02, t0), (r10, r11, r12, t1), (r20, r21, r22, t2) = (
+        pro["rows"]
+    )
+    fx, fy, cx0, cy0 = pro["intr"]
 
     # --- exact per-voxel projection of the DEFORMED centres --------------
     wx = dx_ref[0]
@@ -396,39 +431,13 @@ def _kernel_warped(
         (pxr >= 0) & (pxr < Wr) & (pyr >= 0) & (pyr < Hr) & vox_valid
     )
 
-    # --- rigid lattice line (candidate table axis), as in _kernel --------
-    kx = r02 * cz + t0
-    ky = r12 * cz + t1
-    kz = r22 * cz + t2
-    wx_row = off_x + (
-        jax.lax.broadcasted_iota(jnp.int32, (1, BX), 1).astype(jnp.float32)
-        + x0
-        + 0.5
-    ) * vs_x
-    wyA = off_y + 0.5 * vs_y
-    wyB = off_y + (Y - 0.5) * vs_y
-
-    alpha, beta = _fit_column_lines(
-        r00, r01, r10, r11, r20, r21, kx, ky, kz, fx, fy, cx0, cy0,
-        wx_row, wyA, wyB,
-    )
-
     # --- pass 1 (identical to the rigid kernel) --------------------------
-    y_img = jax.lax.broadcasted_iota(jnp.int32, (Hp, BX), 0).astype(
-        jnp.float32
-    )
-    c0 = jnp.round(jnp.clip(alpha + beta * y_img, -_BIG, _BIG)).astype(
-        jnp.int32
-    )
+    c0 = _pass1_index(alpha, beta, Hp, BX)
     depth_full = depth_ref[...]
     tmps = _pass1_gather((depth_full,), c0, nk, BX, Hp, Wp)
 
     # --- pass 2 at the WARPED rows + exact-column select -----------------
-    pyr_g = jnp.clip(pyr, 0, Hp - 1)
-    pyrT = pyr_g.T
-    c0r = jnp.round(
-        jnp.clip(alpha + beta * pyr.astype(jnp.float32), -_BIG, _BIG)
-    ).astype(jnp.int32)
+    pyrT, c0r = _pass2_index(alpha, beta, pyr, Hp)
 
     (depth_val,), matched = _pass2_select(
         tmps, pyrT, pxr, c0r, nk, BX, Y, Hp
@@ -767,76 +776,19 @@ def _kernel_color(
     sweep. Blend semantics match ops/integrate.py's floored-rate colour
     path exactly (the capability the reference allocates but never
     writes, ref: TSDFVolume.cu m_colours)."""
-    z = pl.program_id(0)
-    xb = pl.program_id(1)
-
-    p = params_ref
-    r00, r01, r02, t0 = p[0, 0], p[0, 1], p[0, 2], p[0, 3]
-    r10, r11, r12, t1 = p[0, 4], p[0, 5], p[0, 6], p[0, 7]
-    r20, r21, r22, t2 = p[0, 8], p[0, 9], p[0, 10], p[0, 11]
-    fx, fy, cx0, cy0 = p[0, 12], p[0, 13], p[0, 14], p[0, 15]
-    off_x, off_y, off_z = p[0, 16], p[0, 17], p[0, 18]
-    vs_x, vs_y, vs_z = p[0, 19], p[0, 20], p[0, 21]
-    trunc = p[0, 22]
-    max_weight = p[0, 23]
-
-    zf = z.astype(jnp.float32)
-    cz = off_z + (zf + 0.5) * vs_z
-    x0 = (xb * BX).astype(jnp.float32)
-
-    xv_i = jax.lax.broadcasted_iota(jnp.int32, (Y, BX), 1)
-    yv_i = jax.lax.broadcasted_iota(jnp.int32, (Y, BX), 0)
-    xv = xv_i.astype(jnp.float32) + x0
-    yv = yv_i.astype(jnp.float32)
-    vox_valid = (xv_i + pl.program_id(1) * BX < Xr) & (yv_i < Yr)
-    wx = off_x + (xv + 0.5) * vs_x
-    wy = off_y + (yv + 0.5) * vs_y
-    kx = r02 * cz + t0
-    ky = r12 * cz + t1
-    kz = r22 * cz + t2
-    Xc = r00 * wx + r01 * wy + kx
-    Yc = r10 * wx + r11 * wy + ky
-    Zc = r20 * wx + r21 * wy + kz
-    px = fx * Xc / Zc + cx0
-    py = fy * Yc / Zc + cy0
-    px = jnp.where(jnp.isfinite(px), jnp.clip(px, -_BIG, _BIG), -1.0)
-    py = jnp.where(jnp.isfinite(py), jnp.clip(py, -_BIG, _BIG), -1.0)
-    pxr = jnp.round(px).astype(jnp.int32)
-    pyr = jnp.round(py).astype(jnp.int32)
-    in_img = (
-        (pxr >= 0) & (pxr < Wr) & (pyr >= 0) & (pyr < Hr) & vox_valid
-    )
-
-    wx_row = off_x + (
-        jax.lax.broadcasted_iota(jnp.int32, (1, BX), 1).astype(jnp.float32)
-        + x0
-        + 0.5
-    ) * vs_x
-    wyA = off_y + 0.5 * vs_y
-    wyB = off_y + (Y - 0.5) * vs_y
-
-    alpha, beta = _fit_column_lines(
-        r00, r01, r10, r11, r20, r21, kx, ky, kz, fx, fy, cx0, cy0,
-        wx_row, wyA, wyB,
-    )
+    pro = _rigid_prologue(params_ref, Y=Y, BX=BX, Yr=Yr, Xr=Xr, Hr=Hr, Wr=Wr)
+    trunc, max_weight = pro["trunc"], pro["max_weight"]
+    Zc, pxr, pyr, in_img = pro["Zc"], pro["pxr"], pro["pyr"], pro["in_img"]
+    alpha, beta, vox_valid = pro["alpha"], pro["beta"], pro["vox_valid"]
 
     # --- pass 1 over BOTH tables (shared index math) ----------------------
-    y_img = jax.lax.broadcasted_iota(jnp.int32, (Hp, BX), 0).astype(
-        jnp.float32
-    )
-    cf = alpha + beta * y_img
-    c0 = jnp.round(jnp.clip(cf, -_BIG, _BIG)).astype(jnp.int32)
-
+    c0 = _pass1_index(alpha, beta, Hp, BX)
     depth_full = depth_ref[...]
     rgbp_full = rgbp_ref[...]
     tmps = _pass1_gather((depth_full, rgbp_full), c0, nk, BX, Hp, Wp)
 
     # --- pass 2 at the voxel rows + exact-column select -------------------
-    pyr_g = jnp.clip(pyr, 0, Hp - 1)
-    pyrT = pyr_g.T
-    c0r = jnp.round(
-        jnp.clip(alpha + beta * pyr.astype(jnp.float32), -_BIG, _BIG)
-    ).astype(jnp.int32)
+    pyrT, c0r = _pass2_index(alpha, beta, pyr, Hp)
 
     if line_mode:
         pxr = c0r
@@ -1057,72 +1009,19 @@ def _kernel_pose_grad(
     ordinary AD; equality gate: ops/integrate_diff.py). The depth image
     AND its two gradient images ride the shared three-table line-warp
     lookup, so the backward costs ~1.5x one forward pass."""
-    z = pl.program_id(0)
-    xb = pl.program_id(1)
+    pro = _rigid_prologue(params_ref, Y=Y, BX=BX, Yr=Yr, Xr=Xr, Hr=Hr, Wr=Wr)
+    trunc, max_weight = pro["trunc"], pro["max_weight"]
+    fx, fy = pro["intr"][0], pro["intr"][1]
+    cz, wx, wy = pro["cz"], pro["wx"], pro["wy"]
+    Xc, Yc, Zc = pro["Xc"], pro["Yc"], pro["Zc"]
+    pxr, pyr, in_img = pro["pxr"], pro["pyr"], pro["in_img"]
+    alpha, beta = pro["alpha"], pro["beta"]
 
-    p = params_ref
-    r00, r01, r02, t0 = p[0, 0], p[0, 1], p[0, 2], p[0, 3]
-    r10, r11, r12, t1 = p[0, 4], p[0, 5], p[0, 6], p[0, 7]
-    r20, r21, r22, t2 = p[0, 8], p[0, 9], p[0, 10], p[0, 11]
-    fx, fy, cx0, cy0 = p[0, 12], p[0, 13], p[0, 14], p[0, 15]
-    off_x, off_y, off_z = p[0, 16], p[0, 17], p[0, 18]
-    vs_x, vs_y, vs_z = p[0, 19], p[0, 20], p[0, 21]
-    trunc = p[0, 22]
-    max_weight = p[0, 23]
-
-    zf = z.astype(jnp.float32)
-    cz = off_z + (zf + 0.5) * vs_z
-    x0 = (xb * BX).astype(jnp.float32)
-
-    xv_i = jax.lax.broadcasted_iota(jnp.int32, (Y, BX), 1)
-    yv_i = jax.lax.broadcasted_iota(jnp.int32, (Y, BX), 0)
-    xv = xv_i.astype(jnp.float32) + x0
-    yv = yv_i.astype(jnp.float32)
-    vox_valid = (xv_i + pl.program_id(1) * BX < Xr) & (yv_i < Yr)
-    wx = off_x + (xv + 0.5) * vs_x
-    wy = off_y + (yv + 0.5) * vs_y
-    kx = r02 * cz + t0
-    ky = r12 * cz + t1
-    kz = r22 * cz + t2
-    Xc = r00 * wx + r01 * wy + kx
-    Yc = r10 * wx + r11 * wy + ky
-    Zc = r20 * wx + r21 * wy + kz
-    px = fx * Xc / Zc + cx0
-    py = fy * Yc / Zc + cy0
-    px = jnp.where(jnp.isfinite(px), jnp.clip(px, -_BIG, _BIG), -1.0)
-    py = jnp.where(jnp.isfinite(py), jnp.clip(py, -_BIG, _BIG), -1.0)
-    pxr = jnp.round(px).astype(jnp.int32)
-    pyr = jnp.round(py).astype(jnp.int32)
-    in_img = (
-        (pxr >= 0) & (pxr < Wr) & (pyr >= 0) & (pyr < Hr) & vox_valid
-    )
-
-    wx_row = off_x + (
-        jax.lax.broadcasted_iota(jnp.int32, (1, BX), 1).astype(jnp.float32)
-        + x0
-        + 0.5
-    ) * vs_x
-    wyA = off_y + 0.5 * vs_y
-    wyB = off_y + (Y - 0.5) * vs_y
-    alpha, beta = _fit_column_lines(
-        r00, r01, r10, r11, r20, r21, kx, ky, kz, fx, fy, cx0, cy0,
-        wx_row, wyA, wyB,
-    )
-
-    y_img = jax.lax.broadcasted_iota(jnp.int32, (Hp, BX), 0).astype(
-        jnp.float32
-    )
-    c0 = jnp.round(jnp.clip(alpha + beta * y_img, -_BIG, _BIG)).astype(
-        jnp.int32
-    )
+    c0 = _pass1_index(alpha, beta, Hp, BX)
     tables = (depth_ref[...], gx_ref[...], gy_ref[...])
     tmps = _pass1_gather(tables, c0, nk, BX, Hp, Wp)
 
-    pyr_g = jnp.clip(pyr, 0, Hp - 1)
-    pyrT = pyr_g.T
-    c0r = jnp.round(
-        jnp.clip(alpha + beta * pyr.astype(jnp.float32), -_BIG, _BIG)
-    ).astype(jnp.int32)
+    pyrT, c0r = _pass2_index(alpha, beta, pyr, Hp)
     (depth_val, gxv, gyv), matched = _pass2_select(
         tmps, pyrT, pxr, c0r, nk, BX, Y, Hp
     )
@@ -1258,14 +1157,6 @@ def _integrate_core_fwd(vol, depth, k, pose_inv, nk, cap_weight,
     return out, (vol, depth, k, pose_inv)
 
 
-def _zeros_cotangent(x):
-    import numpy as np
-
-    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact):
-        return jnp.zeros_like(x)
-    return np.zeros(jnp.shape(x), jax.dtypes.float0)
-
-
 def _integrate_core_bwd(nk, cap_weight, image_term, interpret, res, g):
     vol, depth, k, pose_inv = res
     gvol, _gmiss = g
@@ -1274,8 +1165,13 @@ def _integrate_core_bwd(nk, cap_weight, image_term, interpret, res, g):
         nk=nk, cap_weight=cap_weight, image_term=image_term,
         interpret=interpret,
     )
-    vol_cot = jax.tree.map(_zeros_cotangent, vol)
-    vol_cot = vol_cot.replace(
+    # Every non-tsdf/weight field of the output volume is an identity
+    # pass-through of the input, so its cotangent flows through
+    # unchanged (a loss reading e.g. out.truncation_distance must not
+    # silently get zero). The geometry fields' COMPUTE-path influence on
+    # new_tsdf (offset/voxel size inside the projection) is treated as
+    # observed data like depth/k — only the pass-through term is kept.
+    vol_cot = gvol.replace(
         tsdf=dd.astype(vol.tsdf.dtype), weight=dw.astype(vol.weight.dtype)
     )
     return (

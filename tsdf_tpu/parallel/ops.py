@@ -487,6 +487,10 @@ def get_incremental_transformation_sharded(
     iterations: tuple[int, ...] = (10, 5, 4),
     band: int | None = None,
     conv_eps: float = 0.0,
+    init_pose: jnp.ndarray | None = None,
+    dist_thresh: float | None = None,
+    angle_thresh: float | None = None,
+    adaptive: bool = True,
 ):
     """The FULL coarse-to-fine ICP pyramid on the device mesh.
 
@@ -504,15 +508,21 @@ def get_incremental_transformation_sharded(
     Returns an ICPResult (pose, error, inliers), replicated.
     """
     from ..tracking.icp import (
+        ANGLE_THRESH,
+        DIST_THRESH_MM,
         ICPResult,
         depth_pyramid,
+        gn_pose_update,
         icp_step,
         icp_step_banded,
         normal_map,
         vertex_map,
     )
-    from ..utils.se3 import se3_exp
 
+    if dist_thresh is None:
+        dist_thresh = DIST_THRESH_MM
+    if angle_thresh is None:
+        angle_thresh = ANGLE_THRESH
     n_dev = mesh.shape["b"] * mesh.shape["r"]
     fx, fy, cx, cy = (
         intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3],
@@ -558,7 +568,10 @@ def get_incremental_transformation_sharded(
             jax.lax.axis_index("b") * mesh.shape["r"]
             + jax.lax.axis_index("r")
         )
-        pose = jnp.eye(4, dtype=jnp.float32)
+        pose = (
+            jnp.eye(4, dtype=jnp.float32) if init_pose is None
+            else jnp.asarray(init_pose, jnp.float32)
+        )
         err = jnp.array(0.0, jnp.float32)
         inl = jnp.array(0.0, jnp.float32)
         eps = jnp.asarray(conv_eps, jnp.float32)
@@ -576,32 +589,24 @@ def get_incremental_transformation_sharded(
                         pose[0:3, 0:3], pose[0:3, 3], _vc, _nc, _dp,
                         _fx, _fy, _cx, _cy,
                         band=max(band >> _lvl, 8),
+                        dist_thresh=dist_thresh, angle_thresh=angle_thresh,
+                        adaptive=adaptive,
                         row_offset=dev * _h,
                     )
                 else:
                     A, b, res_sq, inliers = icp_step(
                         pose[0:3, 0:3], pose[0:3, 3], _vc, _nc, _vp, _np,
-                        _fx, _fy, _cx, _cy,
+                        _fx, _fy, _cx, _cy, dist_thresh, angle_thresh,
                     )
                 A = jax.lax.psum(A, ("b", "r"))
                 b = jax.lax.psum(b, ("b", "r"))
                 res_sq = jax.lax.psum(res_sq, ("b", "r"))
                 inliers = jax.lax.psum(inliers, ("b", "r"))
-                # replicated 6x6 solve — identical on every device
-                A = A + 1e-6 * jnp.eye(6, dtype=jnp.float32)
-                update = jnp.linalg.solve(A, b)
-                update = jnp.where(jnp.isfinite(update), update, 0.0)
-                delta = se3_exp(
-                    jnp.concatenate([update[3:6], update[0:3]])
-                )
-                pose = delta @ pose
+                # replicated solve (gn_pose_update) — identical on every
+                # device, so the early exit below branches together and
+                # cannot deadlock the collectives
+                pose, score = gn_pose_update(A, b, pose)
                 err = jnp.sqrt(res_sq / jnp.maximum(inliers, 1.0))
-                # the update (psum'd solve) is replicated, so every
-                # device takes the same branch — the early exit cannot
-                # deadlock the collectives
-                score = jnp.linalg.norm(update[0:3]) + 1000.0 * (
-                    jnp.linalg.norm(update[3:6])
-                )
                 return i + 1, pose, err, inliers, score
 
             def cond(carry, _n=iterations[lvl]):
@@ -713,6 +718,7 @@ def extract_surface_sharded(
     mesh: Mesh,
     max_cubes_per_brick: int = 1 << 16,
     max_vertices_per_brick: int = 1 << 18,
+    use_chunked: bool = True,
 ):
     """Brick-parallel marching cubes.
 
@@ -720,6 +726,12 @@ def extract_surface_sharded(
     +z neighbour's first slab via halo exchange (the reference needs a
     host-side scan between its two kernels, SURVEY.md §2.3; here the
     whole thing stays on device and parallel over bricks).
+
+    ``use_chunked``: on TPU the per-brick compaction first tries the
+    chunked path, whose active-chunk cap can overflow on very dense
+    surfaces independently of ``max_cubes_per_brick``; re-extract with
+    ``use_chunked=False`` (full-volume sort compaction) when
+    ``merge_brick_soups`` reports a chunk-capacity overflow.
 
     Returns a TriangleSoup-like tuple of stacked per-brick buffers:
       vertices:      (nb, max_vertices_per_brick, 3) world mm
@@ -733,6 +745,11 @@ def extract_surface_sharded(
 
     nb = mesh.shape["b"]
     Z, Y, X = vol.tsdf.shape
+    if Z % nb:
+        raise ValueError(
+            f"Z={Z} must divide the brick axis ({nb}) for the sharded "
+            "extraction"
+        )
     zl = Z // nb
     ext = halo_exchange_z(vol.tsdf, mesh, halo=1)  # (Z + 2nb, Y, X)
 
@@ -759,6 +776,7 @@ def extract_surface_sharded(
             # compaction — the XLA scatter/gather path is pathological
             # on-device (the CPU test mesh hides this)
             tpu_safe=jax.default_backend() == "tpu",
+            use_chunked=use_chunked,
         )
         return (
             soup.vertices[None],
@@ -784,7 +802,10 @@ def merge_brick_soups(brick_soups):
     verts_b, _voxels_b, n_b, overflow_b = brick_soups
     if bool(np.asarray(overflow_b).any()):
         raise ValueError(
-            "a brick overflowed; raise max_cubes/max_vertices_per_brick"
+            "a brick overflowed: raise max_cubes/max_vertices_per_brick, "
+            "or — if this is the chunked compaction's active-chunk cap "
+            "(dense surface on TPU) — re-extract with "
+            "extract_surface_sharded(..., use_chunked=False)"
         )
     # one D2H each — per-brick np.asarray would re-transfer the stacked
     # buffer once per brick through the remote tunnel
@@ -1140,8 +1161,6 @@ def _pose_grad_sharded_jit(
 def _integrate_core_sharded_bwd(
     mesh, nk, cap_weight, image_term, interpret, res, g
 ):
-    from ..kernels.integrate import _zeros_cotangent
-
     vol, depth, k, pose_inv = res
     gvol, _gmiss = g
     dd, dw, dpinv = _pose_grad_sharded_jit(
@@ -1149,8 +1168,9 @@ def _integrate_core_sharded_bwd(
         mesh=mesh, nk=nk, cap_weight=cap_weight,
         image_term=image_term, interpret=interpret,
     )
-    vol_cot = jax.tree.map(_zeros_cotangent, vol)
-    vol_cot = vol_cot.replace(
+    # identity pass-through fields keep their output cotangent (see
+    # kernels/integrate.py:_integrate_core_bwd)
+    vol_cot = gvol.replace(
         tsdf=dd.astype(vol.tsdf.dtype), weight=dw.astype(vol.weight.dtype)
     )
     return vol_cot, jnp.zeros_like(depth), jnp.zeros_like(k), dpinv

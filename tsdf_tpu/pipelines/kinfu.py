@@ -75,20 +75,6 @@ class FusionConfig:
         )
 
 
-def _render_depth_pallas(vol, camera, width, height):
-    from ..kernels.raycast import raycast_pallas
-
-    verts, _normals = raycast_pallas(
-        vol, camera, width, height,
-        interpret=jax.default_backend() != "tpu",
-    )
-    cam = camera.world_to_camera(
-        jnp.where(jnp.isfinite(verts), verts, 0.0).reshape(-1, 3)
-    ).reshape(height, width, 3)
-    z = jnp.where(jnp.isfinite(verts).all(-1), cam[..., 2], 0.0)
-    return jnp.clip(jnp.round(z), 0, 65535).astype(jnp.uint16)
-
-
 def _integrate(vol, depth, camera, config: FusionConfig, miss_log=None,
                rgb=None):
     if config.use_pallas and vol.deform is None:
@@ -124,6 +110,7 @@ def _fuse_chunk_pallas(
     camera: Camera,
     depths: jnp.ndarray,  # (N, H, W) f32 mm
     poses: jnp.ndarray,  # (N, 4, 4) camera->world
+    reals: jnp.ndarray,  # (N,) 1.0 for real frames, 0.0 for tail padding
     *,
     config: FusionConfig,
 ):
@@ -131,14 +118,17 @@ def _fuse_chunk_pallas(
 
     The per-frame loop costs one host->device dispatch per frame; the
     scan compiles the Pallas integrate once and runs the whole chunk
-    device-side. Returns (volume, summed miss counter).
+    device-side. Returns (volume, summed miss counter). ``reals`` masks
+    the miss counters of zero-depth tail-pad frames: a pad frame never
+    updates a voxel (depth_val > 0 gate) but its miss counter is
+    geometry-only and would re-count the padded pose's misses.
     """
     from ..kernels.integrate import integrate_pallas
 
     interpret = jax.default_backend() != "tpu"
 
     def body(vol, inp):
-        depth, pose = inp
+        depth, pose, real = inp
         if config.use_bilateral_filter:
             depth = bilateral_filter(
                 depth, config.sigma_colour, config.sigma_space
@@ -148,9 +138,9 @@ def _fuse_chunk_pallas(
             cap_weight=config.cap_weight, nk=config.integrate_nk,
             mode=config.integrate_mode, interpret=interpret,
         )
-        return out, miss
+        return out, miss * real.astype(miss.dtype)
 
-    vol, misses = jax.lax.scan(body, vol, (depths, poses))
+    vol, misses = jax.lax.scan(body, vol, (depths, poses, reals))
     return vol, jnp.sum(misses)
 
 
@@ -187,7 +177,9 @@ def fuse_frames(
                 return
             # pad the tail to the full chunk with zero-depth frames (a
             # zero depth never passes the depth_val > 0 gate, so padding
-            # is an exact no-op) — ONE compiled scan shape for any N
+            # is an exact no-op — miss counters are masked per frame) —
+            # ONE compiled scan shape for any N
+            n_real = len(buf_d)
             while len(buf_d) < config.fuse_chunk:
                 buf_d.append(jnp.zeros_like(jnp.asarray(buf_d[0])))
                 buf_p.append(buf_p[-1])
@@ -197,8 +189,11 @@ def fuse_frames(
             poses = jnp.stack(
                 [jnp.asarray(p, jnp.float32) for p in buf_p]
             )
+            reals = (
+                jnp.arange(config.fuse_chunk) < n_real
+            ).astype(jnp.float32)
             vol, miss = _fuse_chunk_pallas(
-                vol, camera, depths, poses, config=config
+                vol, camera, depths, poses, reals, config=config
             )
             miss_log.append(miss)
             buf_d.clear()
@@ -250,10 +245,12 @@ def _check_misses(miss_log, config: FusionConfig) -> None:
                 "FusionConfig(integrate_nk=5), or use_pallas=False "
                 "(ops.integrate) for extreme camera roll"
             )
+        # line mode always runs nk=1 (integrate_pallas overrides it)
+        eff_nk = 1 if config.integrate_mode == "line" else config.integrate_nk
         warnings.warn(
             f"{total} voxel observations skipped by the line-warp "
-            f"integrate at nk={config.integrate_nk}; re-run with "
-            f"{remedy}."
+            f"integrate (mode={config.integrate_mode}, nk={eff_nk}); "
+            f"re-run with {remedy}."
         )
 
 
@@ -279,6 +276,16 @@ def track_and_fuse_frames(
       (volume, camera at final pose, list of (4,4) per-frame poses,
        list of (error_mm, inliers) tracking stats).
     """
+    if config.use_pallas and vol.deform is not None:
+        # fail fast: _tracked_step_pallas routes through the rigid
+        # integrate kernel, which rejects deformed volumes mid-loop (and
+        # _integrate would silently fall back to lax for frame 0 only).
+        # Non-rigid fusion is pipelines/scenefusion.py.
+        raise ValueError(
+            "track_and_fuse_frames(use_pallas=True) does not support "
+            "deformation-enabled volumes; use use_pallas=False or the "
+            "SceneFusion pipeline for non-rigid fusion"
+        )
     k = camera.k
     fx, fy = k[0, 0], k[1, 1]
     cx, cy = k[0, 2], k[1, 2]
@@ -426,6 +433,13 @@ def _tracked_step_pallas(
         )
     else:
         pose_inc, err, inl = res.pose, res.error, res.inliers
+    # Tracking lost (too few inliers even under the final association):
+    # keep the previous pose — applying the garbage increment would
+    # corrupt every subsequent frame's frame-to-model tracking.
+    lost = inl < min_inl
+    pose_inc = jnp.where(
+        lost, jnp.eye(4, dtype=jnp.float32), pose_inc
+    )
     camera = camera.set_pose(camera.pose @ pose_inc)
 
     def fuse(vol):
@@ -444,8 +458,11 @@ def _tracked_step_pallas(
         )
         return out, miss
 
+    # A lost frame must not be fused either (see docstring); the gate
+    # applies to BOTH association paths (banded + exact fallback, or
+    # exact-only when icp_band=0).
     vol, miss = jax.lax.cond(
-        (inl >= min_inl) if band is not None else jnp.bool_(True),
+        jnp.logical_not(lost),
         fuse,
         lambda v: (v, jnp.int32(0)),
         vol,

@@ -357,6 +357,22 @@ def icp_step_banded(
     return A, b, jnp.sum(r * r), jnp.sum(mask.astype(jnp.float32))
 
 
+def gn_pose_update(A, b, pose):
+    """One damped Gauss-Newton pose step shared by the single-device and
+    sharded pyramids: 6x6 LDLT-style solve (mild damping for
+    rank-deficient scenes), Sophus-ordered se3 exp, left-compose.
+    Returns (new pose, update magnitude |v|_mm + 1000 |w|_rad — the
+    conv_eps early-exit score)."""
+    A = A + 1e-6 * jnp.eye(6, dtype=jnp.float32)
+    update = jnp.linalg.solve(A, b)  # (v, w), Sophus ordering
+    update = jnp.where(jnp.isfinite(update), update, 0.0)
+    delta = se3_exp(jnp.concatenate([update[3:6], update[0:3]]))
+    score = jnp.linalg.norm(update[0:3]) + 1000.0 * jnp.linalg.norm(
+        update[3:6]
+    )
+    return delta @ pose, score
+
+
 @partial(
     jax.jit, static_argnames=("levels", "iterations", "band", "adaptive")
 )
@@ -432,18 +448,8 @@ def get_incremental_transformation(
                     pose[0:3, 0:3], pose[0:3, 3], _vc, _nc, _vp, _np,
                     _fx, _fy, _cx, _cy, dist_thresh, angle_thresh,
                 )
-            # LDLT solve with mild damping for rank-deficient scenes
-            A = A + 1e-6 * jnp.eye(6, dtype=jnp.float32)
-            update = jnp.linalg.solve(A, b)  # (v, w), Sophus ordering
-            update = jnp.where(jnp.isfinite(update), update, 0.0)
-            delta = se3_exp(
-                jnp.concatenate([update[3:6], update[0:3]])
-            )
-            pose = delta @ pose
+            pose, score = gn_pose_update(A, b, pose)
             err = jnp.sqrt(res_sq / jnp.maximum(inliers, 1.0))
-            score = jnp.linalg.norm(update[0:3]) + 1000.0 * jnp.linalg.norm(
-                update[3:6]
-            )
             return i + 1, pose, err, inliers, score
 
         def cond(carry, _n=iterations[lvl]):
