@@ -215,3 +215,25 @@ def test_sorted_hint_with_leading_sentinels():
     expect2[:, 0] = (1, 2)
     expect2[:, 2] = (2, 4)
     np.testing.assert_array_equal(np.asarray(out2), expect2)
+
+
+def test_lane_gather_cpu_fallback_nan_table():
+    """The CPU fallback's out-of-range-returns-0 must be a where, not a
+    mask multiply: a NaN at the clipped table position must not leak
+    into the 0 (bit-identical contract with the TPU kernel)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tsdf_tpu.kernels.gather import (
+        lane_gather_any,
+        lane_gather_fast,
+        lane_gather_op,
+    )
+
+    tab = jnp.zeros((8, 128), jnp.float32).at[:, 0].set(jnp.nan)
+    idx = jnp.full((8, 128), -1, jnp.int32)  # clips to column 0 (NaN)
+    kernel = np.asarray(lane_gather_op(tab, idx, interpret=True))
+    for fn in (lane_gather_any, lane_gather_fast):
+        out = np.asarray(fn(tab, idx))
+        np.testing.assert_array_equal(out, kernel)
+        assert not np.isnan(out).any()

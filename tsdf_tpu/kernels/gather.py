@@ -273,9 +273,19 @@ def lane_gather_any(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     it is only the TPU lowering that crawls)."""
     if jax.default_backend() == "tpu":
         return lane_gather_op(table, idx)
-    return jnp.take_along_axis(
+    return _take_or_zero(table, idx)
+
+
+def _take_or_zero(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """CPU twin of the kernels' out-of-range-returns-0 semantics. Must
+    be a where (not a mask multiply): a NaN/inf table value at the
+    clipped position would otherwise turn 0 into NaN and break the
+    bit-identical contract with the TPU path."""
+    in_range = (idx >= 0) & (idx < table.shape[1])
+    g = jnp.take_along_axis(
         table, jnp.clip(idx, 0, table.shape[1] - 1), axis=1
-    ) * ((idx >= 0) & (idx < table.shape[1]))
+    )
+    return jnp.where(in_range, g, jnp.zeros_like(g))
 
 
 def lane_gather_fast(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -285,6 +295,4 @@ def lane_gather_fast(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     CPU. Bit-identical to lane_gather_any on every input."""
     if jax.default_backend() == "tpu":
         return lane_gather_checked(table, idx)
-    return jnp.take_along_axis(
-        table, jnp.clip(idx, 0, table.shape[1] - 1), axis=1
-    ) * ((idx >= 0) & (idx < table.shape[1]))
+    return _take_or_zero(table, idx)

@@ -100,9 +100,10 @@ def raycast_diff(
         pts = origin[None, :] + t[:, None] * dirs - space_min[None, :]
         return trilinear_sample(vol.tsdf, pts, vol.voxel_size)
 
-    f0 = f(t0)
-    # directional derivative along t (frozen: it is only a scale)
-    _, fp = jax.jvp(f, (t0,), (jnp.ones_like(t0),))
+    # one evaluation yields both the primal and the directional
+    # derivative along t (frozen: it is only a scale) — f is 8 gathers
+    # over all rays, so a separate f(t0) would double the lookup cost
+    f0, fp = jax.jvp(f, (t0,), (jnp.ones_like(t0),))
     fp = jax.lax.stop_gradient(fp)
     fp = jnp.where(jnp.abs(fp) < 1e-6, jnp.where(fp < 0, -1e-6, 1e-6), fp)
 

@@ -512,10 +512,10 @@ def get_incremental_transformation_sharded(
         DIST_THRESH_MM,
         ICPResult,
         depth_pyramid,
-        gn_pose_update,
         icp_step,
         icp_step_banded,
         normal_map,
+        run_level,
         vertex_map,
     )
 
@@ -580,10 +580,9 @@ def get_incremental_transformation_sharded(
             lfx, lfy, lcx, lcy = intr[0], intr[1], intr[2], intr[3]
             h_local = vc.shape[0]
 
-            def body(carry, _lvl=lvl, _vc=vc, _nc=nc, _vp=vp, _np=np_,
+            def step(pose, _lvl=lvl, _vc=vc, _nc=nc, _vp=vp, _np=np_,
                      _dp=dp_prev, _fx=lfx, _fy=lfy, _cx=lcx, _cy=lcy,
                      _h=h_local):
-                i, pose, err, inl, _score = carry
                 if band is not None:
                     A, b, res_sq, inliers = icp_step_banded(
                         pose[0:3, 0:3], pose[0:3, 3], _vc, _nc, _dp,
@@ -598,23 +597,18 @@ def get_incremental_transformation_sharded(
                         pose[0:3, 0:3], pose[0:3, 3], _vc, _nc, _vp, _np,
                         _fx, _fy, _cx, _cy, dist_thresh, angle_thresh,
                     )
-                A = jax.lax.psum(A, ("b", "r"))
-                b = jax.lax.psum(b, ("b", "r"))
-                res_sq = jax.lax.psum(res_sq, ("b", "r"))
-                inliers = jax.lax.psum(inliers, ("b", "r"))
-                # replicated solve (gn_pose_update) — identical on every
-                # device, so the early exit below branches together and
-                # cannot deadlock the collectives
-                pose, score = gn_pose_update(A, b, pose)
-                err = jnp.sqrt(res_sq / jnp.maximum(inliers, 1.0))
-                return i + 1, pose, err, inliers, score
+                # psum'd normal equations -> every device solves the
+                # SAME system in run_level, so the early exit branches
+                # together and cannot deadlock the collectives
+                return (
+                    jax.lax.psum(A, ("b", "r")),
+                    jax.lax.psum(b, ("b", "r")),
+                    jax.lax.psum(res_sq, ("b", "r")),
+                    jax.lax.psum(inliers, ("b", "r")),
+                )
 
-            def cond(carry, _n=iterations[lvl]):
-                i, _pose, _err, _inl, score = carry
-                return (i < _n) & (score >= eps)
-
-            _, pose, err, inl, _ = jax.lax.while_loop(
-                cond, body, (0, pose, err, inl, jnp.float32(jnp.inf))
+            pose, err, inl = run_level(
+                step, iterations[lvl], eps, pose, err, inl
             )
         return pose, err, inl
 

@@ -342,7 +342,12 @@ def icp_step_banded(
         jnp.linalg.norm(jnp.cross(n_in_prev, n_prev), axis=-1) < angle_thresh
     )
     finite = jnp.isfinite(v_curr[:, 2]) & jnp.isfinite(n_curr[:, 0])
-    mask = ok & dist_ok & angle_ok & finite
+    # behind-camera gates, as icp_step's in_img mask: a point behind
+    # the previous camera mirror-projects into the image and can
+    # otherwise form a bogus correspondence at coarse levels with a
+    # large interim pose error
+    front = (v_curr[:, 2] > 0) & (v_in_prev[:, 2] > 0)
+    mask = ok & dist_ok & angle_ok & finite & front
 
     n_prev_s = jnp.where(mask[:, None], n_prev, 0.0)
     v_ip_s = jnp.where(mask[:, None], v_in_prev, 0.0)
@@ -355,6 +360,32 @@ def icp_step_banded(
     A = rows.T @ rows
     b = rows.T @ r
     return A, b, jnp.sum(r * r), jnp.sum(mask.astype(jnp.float32))
+
+
+def run_level(step_fn, n_iters: int, eps, pose, err, inl):
+    """One pyramid level's Gauss-Newton loop with the conv_eps early
+    exit — the single scaffolding shared by the single-device and
+    sharded (parallel/ops.py) pyramids so their trajectories cannot
+    drift apart. ``step_fn(pose) -> (A, b, res_sq, inliers)``, reduced
+    however the caller needs (masked sums single-device; psum'd on the
+    mesh, where the replicated solve keeps the exit branch identical on
+    every device)."""
+
+    def body(carry):
+        i, pose, err, inl, _score = carry
+        A, b, res_sq, inliers = step_fn(pose)
+        pose, score = gn_pose_update(A, b, pose)
+        err = jnp.sqrt(res_sq / jnp.maximum(inliers, 1.0))
+        return i + 1, pose, err, inliers, score
+
+    def cond(carry):
+        i, _pose, _err, _inl, score = carry
+        return (i < n_iters) & (score >= eps)
+
+    _, pose, err, inl, _ = jax.lax.while_loop(
+        cond, body, (0, pose, err, inl, jnp.float32(jnp.inf))
+    )
+    return pose, err, inl
 
 
 def gn_pose_update(A, b, pose):
@@ -407,6 +438,11 @@ def get_incremental_transformation(
     Returns T_prev_curr: maps current-camera points into the previous
     camera frame (ref: ICPOdometry::getIncrementalTransformation
     ICPOdometry.cpp:97-135).
+
+    Not reverse-mode differentiable (the levels run as lax.while_loop
+    for the early exit). Classic ICP tracking is not part of any
+    gradient path in this framework — differentiable pose estimation
+    goes through ops/raycast_diff.py / kernels.integrate_pose instead.
     """
     pyr_c = depth_pyramid(depth_curr, levels)
     pyr_p = depth_pyramid(depth_prev, levels)
@@ -432,31 +468,22 @@ def get_incremental_transformation(
     for lvl in range(levels - 1, -1, -1):
         vc, nc, vp, np_, lfx, lfy, lcx, lcy = maps[lvl]
 
-        def body(carry, _lvl=lvl, _vc=vc, _nc=nc, _vp=vp, _np=np_,
+        def step(pose, _lvl=lvl, _vc=vc, _nc=nc, _vp=vp, _np=np_,
                  _fx=lfx, _fy=lfy, _cx=lcx, _cy=lcy):
-            i, pose, err, inl, _score = carry
             if band is not None:
-                A, b, res_sq, inliers = icp_step_banded(
+                return icp_step_banded(
                     pose[0:3, 0:3], pose[0:3, 3], _vc, _nc, pyr_p[_lvl],
                     _fx, _fy, _cx, _cy,
                     band=max(band >> _lvl, 8),
                     dist_thresh=dist_thresh, angle_thresh=angle_thresh,
                     adaptive=adaptive,
                 )
-            else:
-                A, b, res_sq, inliers = icp_step(
-                    pose[0:3, 0:3], pose[0:3, 3], _vc, _nc, _vp, _np,
-                    _fx, _fy, _cx, _cy, dist_thresh, angle_thresh,
-                )
-            pose, score = gn_pose_update(A, b, pose)
-            err = jnp.sqrt(res_sq / jnp.maximum(inliers, 1.0))
-            return i + 1, pose, err, inliers, score
+            return icp_step(
+                pose[0:3, 0:3], pose[0:3, 3], _vc, _nc, _vp, _np,
+                _fx, _fy, _cx, _cy, dist_thresh, angle_thresh,
+            )
 
-        def cond(carry, _n=iterations[lvl]):
-            i, _pose, _err, _inl, score = carry
-            return (i < _n) & (score >= eps)
-
-        _, pose, err, inl, _ = jax.lax.while_loop(
-            cond, body, (0, pose, err, inl, jnp.float32(jnp.inf))
+        pose, err, inl = run_level(
+            step, iterations[lvl], eps, pose, err, inl
         )
     return ICPResult(pose=pose, error=err, inliers=inl)
