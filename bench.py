@@ -3,21 +3,80 @@
 
 Headline: voxel-updates/s per chip for TSDF depth-frame integration at
 512^3 with 640x480 frames (BASELINE.json metric), plus rays/s for the
-sphere-traced raycast as auxiliary fields.
+sphere-traced raycast and pipeline frame times as auxiliary fields.
 
 The reference publishes no numbers (SURVEY.md §6) and its README calls
 itself unoptimized and not real-time; ``vs_baseline`` is therefore
 measured against this repo's own first recorded number
 (see BASELINE.md), i.e. 1.0 until a prior round's value exists in
 BENCH_BASELINE.json.
+
+Robustness (round-2 post-mortem): the round-2 driver run died at
+rc=124 with NO json line because cold remote compiles (and one kernel
+whose compile failed with a vmem OOM) jammed the compile queue past
+the driver's timeout. This harness now (a) arms a watchdog thread that
+prints the JSON line with whatever has been measured and hard-exits
+before any plausible driver timeout, (b) skips aux sections when the
+remaining budget is too small, and (c) orders sections so the most
+important numbers land first. Keep `.jax_cache` warm (run bench.py
+after any kernel change) so the driver's run recompiles nothing.
 """
 
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
+
+# Wall-clock budget for the whole bench. The watchdog fires slightly
+# after this and force-prints the JSON; sections stop starting once
+# less than their expected cost remains.
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "360"))
+
+_T0 = time.perf_counter()
+_RESULT = {"aux": {}}
+_PRINTED = threading.Event()
+
+
+def _elapsed():
+    return time.perf_counter() - _T0
+
+
+def _remaining():
+    return DEADLINE_S - _elapsed()
+
+
+def _emit():
+    """Print the JSON line exactly once (normal path or watchdog)."""
+    if _PRINTED.is_set():
+        return
+    _PRINTED.set()
+    out = {
+        "metric": _RESULT.get(
+            "metric", "voxel-updates/s per chip (integrate)"
+        ),
+        "value": _RESULT.get("value"),
+        "unit": "voxel-updates/s",
+        "vs_baseline": _RESULT.get("vs_baseline", 1.0),
+        "aux": _RESULT["aux"],
+    }
+    print(json.dumps(out), flush=True)
+
+
+def _watchdog():
+    while _elapsed() < DEADLINE_S + 10.0:
+        if _PRINTED.is_set():
+            return
+        time.sleep(1.0)
+    if not _PRINTED.is_set():
+        _RESULT["aux"]["watchdog_fired_at_s"] = round(_elapsed(), 1)
+        _note("WATCHDOG: deadline hit, emitting JSON and exiting")
+        _emit()
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
 
 
 def _sync(out):
@@ -41,15 +100,8 @@ def _bench(fn, *args, iters=10, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
-def _note(msg, _t0=[None]):
-    import time as _t
-
-    if _t0[0] is None:
-        _t0[0] = _t.perf_counter()
-    print(
-        f"[bench +{_t.perf_counter() - _t0[0]:7.1f}s] {msg}",
-        file=sys.stderr, flush=True,
-    )
+def _note(msg):
+    print(f"[bench +{_elapsed():7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def _relay_reachable() -> bool:
@@ -102,32 +154,28 @@ def _main_cpu_fallback():
         return integrate(v, depth, camera)
 
     dt = _bench(f, vol, iters=3, warmup=1)
-    print(
-        json.dumps(
-            {
-                "metric": "voxel-updates/s per chip (integrate, "
-                f"{grid}^3, 640x480)",
-                "value": grid**3 / dt,
-                "unit": "voxel-updates/s",
-                "vs_baseline": 1.0,
-                "aux": {
-                    "integrate_ms": dt * 1e3,
-                    "grid": grid,
-                    "device": str(jax.devices()[0]),
-                    "tpu_unreachable": True,
-                },
-            }
-        )
+    _RESULT["metric"] = (
+        f"voxel-updates/s per chip (integrate, {grid}^3, 640x480)"
     )
+    _RESULT["value"] = grid**3 / dt
+    _RESULT["aux"].update(
+        {
+            "integrate_ms": dt * 1e3,
+            "grid": grid,
+            "device": str(jax.devices()[0]),
+            "tpu_unreachable": True,
+        }
+    )
+    _emit()
 
 
 def main():
     import jax
 
-    tpu_unreachable = False
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     if os.environ.get("PALLAS_AXON_POOL_IPS") and not _relay_reachable():
         _note("axon relay unreachable: falling back to CPU at a tiny grid")
-        tpu_unreachable = True
         jax.config.update("jax_platforms", "cpu")
         return _main_cpu_fallback()
 
@@ -142,7 +190,7 @@ def main():
     import jax.numpy as jnp
 
     from tsdf_tpu import Camera, make_volume
-    from tsdf_tpu.kernels import integrate_auto
+    from tsdf_tpu.kernels import integrate_pallas
     from tsdf_tpu.kernels.raycast import raycast_pallas
     from tsdf_tpu.utils import fixtures
 
@@ -163,13 +211,12 @@ def main():
         fixtures.sphere_depth_map(width, height, 150.0, 1000.0, 2500.0)
     )
 
-    # Chained (volume fed back) — the real fusion-loop shape, in the
-    # pipeline-default "line" mode (nk=1 speed for any upright-ish pose).
-    # The exact-or-skip miss counters are collected asynchronously and
-    # verified ONCE after timing (a per-frame readback would serialize on
-    # the device sync), so every timed frame is proven loss-free.
-    from tsdf_tpu.kernels import integrate_pallas
-
+    # ---- HEADLINE: chained integrate (volume fed back) — the real
+    # fusion-loop shape, in the pipeline-default "line" mode (nk=1 speed
+    # for any upright-ish pose). The exact-or-skip miss counters are
+    # collected asynchronously and verified ONCE after timing (a
+    # per-frame readback would serialize on the device sync), so every
+    # timed frame is proven loss-free.
     _note("integrate warmup/compile")
     v, miss = integrate_pallas(vol, depth, camera, mode="line")
     _sync(v.weight)
@@ -185,251 +232,6 @@ def main():
     voxel_updates_per_s = grid**3 / dt_int
     _note(f"integrate done: {dt_int*1e3:.1f} ms")
 
-    # Raycast a fused sphere volume (sphere mode, the production path).
-    vol2 = fixtures.sphere_tsdf(
-        make_volume((grid, grid, grid), 3000.0, offset=(-1500.0, -1500.0, 0.0)),
-        600.0,
-    )
-    cam2 = (
-        Camera.default_depth_camera()
-        .move_to([0.0, 0.0, -900.0])
-        .look_at([0.0, 0.0, 1500.0])
-    )
-
-    def ray_fn(v, c):
-        verts, normals = raycast_pallas(v, c, width=width, height=height)
-        return verts
-
-    _note("raycast warmup/compile")
-    dt_ray = _bench(ray_fn, vol2, cam2)
-    rays_per_s = width * height / dt_ray
-    _note(f"raycast done: {dt_ray*1e3:.1f} ms")
-
-    # Differentiable-fusion backward: the analytic pose adjoint (three
-    # tables through the shared line-warp lookup) at the headline grid.
-    dt_pgrad = None
-    try:
-        from tsdf_tpu.kernels.integrate import _pose_grad_pallas
-
-        gbar = jnp.ones((grid, grid, grid), jnp.float32)
-        gz = jnp.zeros((grid, grid, grid), jnp.float32)
-
-        def pgrad_fn(v):
-            dd, dw, dxi = _pose_grad_pallas(
-                v, depth, camera, gbar, gz,
-                nk=3, cap_weight=False, image_term=True,
-                interpret=False,
-            )
-            return dxi
-
-        _note("pose-adjoint warmup/compile")
-        dt_pgrad = _bench(pgrad_fn, vol)
-        _note(f"pose-adjoint done: {dt_pgrad*1e3:.1f} ms")
-    except Exception as e:
-        _note(f"pose-adjoint failed: {type(e).__name__}: {e}")
-
-    # Deep-scene raycast (config-1-like: far wall at z=2500, rays sweep
-    # most of the volume): exercises the exact empty-brick skip.
-    dt_deep = None
-    try:
-        wall2 = fixtures.wall_tsdf(vol2, 2500.0)
-        deep = vol2.replace(
-            tsdf=jnp.minimum(vol2.tsdf, wall2.tsdf),
-            weight=jnp.ones_like(vol2.weight),
-        )
-        _note("raycast deep-scene warmup/compile")
-        dt_deep = _bench(ray_fn, deep, cam2)
-        _note(f"raycast deep done: {dt_deep*1e3:.1f} ms")
-    except Exception as e:
-        _note(f"raycast deep failed: {type(e).__name__}: {e}")
-
-    # Colour integrate (depth + packed-RGB two-table kernel).
-    dt_cint = None
-    try:
-        from tsdf_tpu.kernels.integrate import integrate_color_pallas
-
-        volc = make_volume(
-            (grid, grid, grid), 3000.0, offset=(-1500.0, -1500.0, 0.0),
-            with_color=True,
-        )
-        ys = jnp.arange(height, dtype=jnp.uint8)[:, None]
-        xs = jnp.arange(width, dtype=jnp.uint8)[None, :]
-        rgb = jnp.stack(
-            [
-                jnp.broadcast_to(ys, (height, width)),
-                jnp.broadcast_to(xs, (height, width)),
-                jnp.full((height, width), 128, jnp.uint8),
-            ],
-            axis=-1,
-        )
-
-        def cint_fn(v):
-            out, _m = integrate_color_pallas(v, depth, rgb, camera)
-            return out.weight
-
-        _note("colour integrate warmup/compile")
-        dt_cint = _bench(cint_fn, volc)
-        _note(f"colour integrate done: {dt_cint*1e3:.1f} ms")
-    except Exception as e:
-        _note(f"colour integrate failed: {type(e).__name__}: {e}")
-
-    # Bilateral pre-filter: lax stencil vs the VMEM-resident Pallas
-    # kernel (bit-equal outputs; the kernel makes one HBM pass).
-    dt_bilat = None
-    dt_bilat_lax = None
-    try:
-        from tsdf_tpu.kernels.bilateral import bilateral_filter_pallas
-        from tsdf_tpu.ops.bilateral import bilateral_filter
-
-        _note("bilateral warmup/compile")
-        dt_bilat = _bench(bilateral_filter_pallas, depth, iters=20)
-        dt_bilat_lax = _bench(bilateral_filter, depth, iters=20)
-        _note(
-            f"bilateral done: pallas {dt_bilat*1e3:.2f} ms, "
-            f"lax {dt_bilat_lax*1e3:.2f} ms"
-        )
-    except Exception as e:
-        _note(f"bilateral failed: {type(e).__name__}: {e}")
-
-    # Full tracked KinectFusion loop (bilateral + banded ICP vs model
-    # render + integrate) at 256^3 — the BASELINE config-3 shape.
-    kinfu_ms = None
-    kinfu_eps_ms = None
-    try:
-        from tsdf_tpu.pipelines import FusionConfig, track_and_fuse_frames
-
-        scene = fixtures.sphere_tsdf(
-            make_volume((256,) * 3, 3000.0, offset=(-1500.0, -1500.0, 0.0)),
-            600.0,
-        )
-        wall = fixtures.wall_tsdf(scene, 2500.0)
-        scene = scene.replace(
-            tsdf=jnp.minimum(scene.tsdf, wall.tsdf),
-            weight=jnp.ones_like(scene.weight),
-        )
-        n_kf = 12  # enough frames that the mean is stable (r1 verdict:
-        # the driver-visible number must match the curated one)
-        cams = [
-            Camera.default_depth_camera()
-            .move_to([30.0 * t, -20.0 * t, -500.0])
-            .look_at([0.0, 0.0, 1500.0])
-            for t in [i / (n_kf - 1.0) for i in range(n_kf)]
-        ]
-
-        def depth_of(c):
-            verts, _ = raycast_pallas(scene, c, width, height)
-            camz = c.world_to_camera(
-                jnp.where(jnp.isfinite(verts), verts, 0.0).reshape(-1, 3)
-            ).reshape(height, width, 3)[..., 2]
-            return jnp.where(
-                jnp.isfinite(verts).all(-1), camz, 0.0
-            ).astype(jnp.float32)
-
-        _note("kinfu frame generation")
-        frames = [depth_of(c) for c in cams]
-        _sync(frames[-1])
-        _note("kinfu warmup")
-        kvol = make_volume(
-            (256,) * 3, 3000.0, offset=(-1500.0, -1500.0, 0.0)
-        )
-        cfg = FusionConfig(
-            width=width, height=height, use_pallas=True,
-            use_bilateral_filter=True,
-        )
-        v2, *_ = track_and_fuse_frames(kvol, cams[0], frames[:2], cfg)
-        _sync(v2.weight)  # warm the compiles
-        # median of 3 full-loop runs: the tunnel adds multi-ms jitter per
-        # dispatch, so single-run numbers swung 2x in round 1
-        _note("kinfu timed runs")
-        per_frame = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            vfin, *_ = track_and_fuse_frames(kvol, cams[0], frames, cfg)
-            _sync(vfin.weight)
-            per_frame.append(
-                (time.perf_counter() - t0) / len(frames) * 1e3
-            )
-        kinfu_ms = float(np.median(per_frame))
-        _note(f"kinfu done: {per_frame}")
-
-        # A/B: the ICP convergence early-exit (conv_eps) — slow motion
-        # converges in a few Gauss-Newton iterations, the rest of the
-        # 10/5/4 schedule is identity updates
-        cfg_eps = FusionConfig(
-            width=width, height=height, use_pallas=True,
-            use_bilateral_filter=True, icp_conv_eps=0.02,
-        )
-        v2, *_ = track_and_fuse_frames(kvol, cams[0], frames[:2], cfg_eps)
-        _sync(v2.weight)
-        per_frame_eps = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            vfin, *_ = track_and_fuse_frames(
-                kvol, cams[0], frames, cfg_eps
-            )
-            _sync(vfin.weight)
-            per_frame_eps.append(
-                (time.perf_counter() - t0) / len(frames) * 1e3
-            )
-        kinfu_eps_ms = float(np.median(per_frame_eps))
-        _note(f"kinfu eps done: {per_frame_eps}")
-    except Exception as e:
-        _note(f"kinfu failed: {type(e).__name__}: {e}")
-        kinfu_ms = None
-
-    # Fused non-rigid SceneFusion frame (masked-soup extract ->
-    # matmul-scatter deformation update -> warped Pallas integrate, one
-    # jit) at the reference's 255^3 default (SceneFusion.cpp:49).
-    sf_ms = None
-    try:
-        from tsdf_tpu.ops.raycast import render_to_depth_image
-        from tsdf_tpu.pipelines.scenefusion import (
-            SceneFusionConfig,
-            _sf_step_pallas,
-        )
-
-        sf_cfg = SceneFusionConfig()
-        sf_vol = fixtures.sphere_tsdf(
-            sf_cfg.make_volume(), 500.0, centre=(0.0, 0.0, 1300.0)
-        )
-        sf_cam = (
-            Camera.default_depth_camera()
-            .move_to([0.0, 0.0, 100.0])
-            .look_at([0.0, 0.0, 1300.0])
-        )
-        _note("scenefusion depth render")
-        sf_depth = jnp.asarray(
-            render_to_depth_image(sf_vol, sf_cam, width=width, height=height),
-            jnp.float32,
-        )
-        sf_flow = jnp.broadcast_to(
-            jnp.array([4.0, 0.0, 0.0], jnp.float32), (height, width, 3)
-        )
-
-        def sf_fn(v):
-            out, _miss, _n, _ovf = _sf_step_pallas(
-                v, sf_depth, sf_flow, sf_cam,
-                max_cubes=sf_cfg.max_cubes, nk=sf_cfg.integrate_nk,
-                threshold_mm=sf_cfg.threshold_mm,
-                tpu_safe=jax.default_backend() == "tpu",
-            )
-            return out
-
-        _note("scenefusion warmup/compile")
-        sf_times = []
-        v3 = sf_fn(sf_vol)
-        _sync(v3.tsdf)
-        for _ in range(5):
-            t0 = time.perf_counter()
-            v3 = sf_fn(v3)
-            _sync(v3.tsdf)
-            sf_times.append(time.perf_counter() - t0)
-        sf_ms = float(np.median(sf_times)) * 1e3
-        _note(f"scenefusion done: {sf_ms:.1f} ms")
-    except Exception as e:
-        _note(f"scenefusion failed: {type(e).__name__}: {e}")
-        sf_ms = None
-
     baseline = None
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
@@ -440,51 +242,303 @@ def main():
                 baseline = json.load(f).get("value")
         except Exception:
             baseline = None
-    vs_baseline = (
+
+    _RESULT["metric"] = (
+        f"voxel-updates/s per chip (integrate, {grid}^3, 640x480)"
+    )
+    _RESULT["value"] = voxel_updates_per_s
+    _RESULT["vs_baseline"] = (
         voxel_updates_per_s / baseline if baseline else 1.0
     )
-
-    print(
-        json.dumps(
-            {
-                "metric": "voxel-updates/s per chip (integrate, "
-                f"{grid}^3, 640x480)",
-                "value": voxel_updates_per_s,
-                "unit": "voxel-updates/s",
-                "vs_baseline": vs_baseline,
-                "aux": {
-                    "integrate_ms": dt_int * 1e3,
-                    "raycast_ms": dt_ray * 1e3,
-                    "rays_per_s": rays_per_s,
-                    "raycast_deep_ms": (
-                        dt_deep * 1e3 if dt_deep else None
-                    ),
-                    "integrate_color_ms": (
-                        dt_cint * 1e3 if dt_cint else None
-                    ),
-                    "integrate_pose_bwd_ms": (
-                        dt_pgrad * 1e3 if dt_pgrad else None
-                    ),
-                    "bilateral_ms": (
-                        dt_bilat * 1e3 if dt_bilat else None
-                    ),
-                    "bilateral_lax_ms": (
-                        dt_bilat_lax * 1e3 if dt_bilat_lax else None
-                    ),
-                    "kinfu_tracked_ms_256": kinfu_ms,
-                    "kinfu_tracked_eps_ms_256": kinfu_eps_ms,
-                    "scenefusion_ms_255": sf_ms,
-                    "grid": grid,
-                    "device": str(jax.devices()[0]),
-                    # True = the axon relay was down and this run fell
-                    # back to CPU at a tiny grid: the value is NOT a
-                    # chip measurement (see BASELINE.md for the last
-                    # real-TPU numbers).
-                    "tpu_unreachable": tpu_unreachable,
-                },
-            }
-        )
+    _RESULT["aux"].update(
+        {
+            "integrate_ms": dt_int * 1e3,
+            "grid": grid,
+            "device": str(jax.devices()[0]),
+            "tpu_unreachable": False,
+        }
     )
+
+    # ---- Aux sections, most important first. Each checks the remaining
+    # budget before starting; a hung remote compile is caught by the
+    # watchdog, which prints whatever landed so far.
+    def section(name, min_budget_s):
+        if _remaining() < min_budget_s:
+            _note(f"SKIP {name}: {_remaining():.0f}s left < {min_budget_s}s")
+            return False
+        return True
+
+    # Raycast a fused sphere volume (sphere mode, the production path).
+    if section("raycast", 45):
+        try:
+            vol2 = fixtures.sphere_tsdf(
+                make_volume(
+                    (grid, grid, grid), 3000.0,
+                    offset=(-1500.0, -1500.0, 0.0),
+                ),
+                600.0,
+            )
+            cam2 = (
+                Camera.default_depth_camera()
+                .move_to([0.0, 0.0, -900.0])
+                .look_at([0.0, 0.0, 1500.0])
+            )
+
+            def ray_fn(v, c):
+                verts, normals = raycast_pallas(
+                    v, c, width=width, height=height
+                )
+                return verts
+
+            _note("raycast warmup/compile")
+            dt_ray = _bench(ray_fn, vol2, cam2)
+            _RESULT["aux"]["raycast_ms"] = dt_ray * 1e3
+            _RESULT["aux"]["rays_per_s"] = width * height / dt_ray
+            _note(f"raycast done: {dt_ray*1e3:.1f} ms")
+        except Exception as e:
+            _note(f"raycast failed: {type(e).__name__}: {e}")
+
+    # Full tracked KinectFusion loop (bilateral + banded ICP vs model
+    # render + integrate) at 256^3 — the BASELINE config-3 shape.
+    if section("kinfu", 120):
+        try:
+            from tsdf_tpu.pipelines import FusionConfig, track_and_fuse_frames
+
+            scene = fixtures.sphere_tsdf(
+                make_volume(
+                    (256,) * 3, 3000.0, offset=(-1500.0, -1500.0, 0.0)
+                ),
+                600.0,
+            )
+            wall = fixtures.wall_tsdf(scene, 2500.0)
+            scene = scene.replace(
+                tsdf=jnp.minimum(scene.tsdf, wall.tsdf),
+                weight=jnp.ones_like(scene.weight),
+            )
+            n_kf = 12  # enough frames that the mean is stable (r1
+            # verdict: driver-visible number must match the curated one)
+            cams = [
+                Camera.default_depth_camera()
+                .move_to([30.0 * t, -20.0 * t, -500.0])
+                .look_at([0.0, 0.0, 1500.0])
+                for t in [i / (n_kf - 1.0) for i in range(n_kf)]
+            ]
+
+            def depth_of(c):
+                verts, _ = raycast_pallas(scene, c, width, height)
+                camz = c.world_to_camera(
+                    jnp.where(jnp.isfinite(verts), verts, 0.0).reshape(-1, 3)
+                ).reshape(height, width, 3)[..., 2]
+                return jnp.where(
+                    jnp.isfinite(verts).all(-1), camz, 0.0
+                ).astype(jnp.float32)
+
+            _note("kinfu frame generation")
+            frames = [depth_of(c) for c in cams]
+            _sync(frames[-1])
+            _note("kinfu warmup")
+            kvol = make_volume(
+                (256,) * 3, 3000.0, offset=(-1500.0, -1500.0, 0.0)
+            )
+            cfg = FusionConfig(
+                width=width, height=height, use_pallas=True,
+                use_bilateral_filter=True,
+            )
+            v2, *_ = track_and_fuse_frames(kvol, cams[0], frames[:2], cfg)
+            _sync(v2.weight)  # warm the compiles
+            # median of 3 full-loop runs: the tunnel adds multi-ms jitter
+            # per dispatch, so single-run numbers swung 2x in round 1
+            _note("kinfu timed runs")
+            per_frame = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                vfin, *_ = track_and_fuse_frames(kvol, cams[0], frames, cfg)
+                _sync(vfin.weight)
+                per_frame.append(
+                    (time.perf_counter() - t0) / len(frames) * 1e3
+                )
+            _RESULT["aux"]["kinfu_tracked_ms_256"] = float(
+                np.median(per_frame)
+            )
+            _note(f"kinfu done: {per_frame}")
+
+            # A/B: the ICP convergence early-exit (conv_eps) — slow
+            # motion converges in a few Gauss-Newton iterations, the
+            # rest of the 10/5/4 schedule is identity updates
+            if section("kinfu-eps", 60):
+                cfg_eps = FusionConfig(
+                    width=width, height=height, use_pallas=True,
+                    use_bilateral_filter=True, icp_conv_eps=0.02,
+                )
+                v2, *_ = track_and_fuse_frames(
+                    kvol, cams[0], frames[:2], cfg_eps
+                )
+                _sync(v2.weight)
+                per_frame_eps = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    vfin, *_ = track_and_fuse_frames(
+                        kvol, cams[0], frames, cfg_eps
+                    )
+                    _sync(vfin.weight)
+                    per_frame_eps.append(
+                        (time.perf_counter() - t0) / len(frames) * 1e3
+                    )
+                _RESULT["aux"]["kinfu_tracked_eps_ms_256"] = float(
+                    np.median(per_frame_eps)
+                )
+                _note(f"kinfu eps done: {per_frame_eps}")
+        except Exception as e:
+            _note(f"kinfu failed: {type(e).__name__}: {e}")
+
+    # Fused non-rigid SceneFusion frame (masked-soup extract ->
+    # matmul-scatter deformation update -> warped Pallas integrate, one
+    # jit) at the reference's 255^3 default (SceneFusion.cpp:49).
+    if section("scenefusion", 90):
+        try:
+            from tsdf_tpu.ops.raycast import render_to_depth_image
+            from tsdf_tpu.pipelines.scenefusion import (
+                SceneFusionConfig,
+                _sf_step_pallas,
+            )
+
+            sf_cfg = SceneFusionConfig()
+            sf_vol = fixtures.sphere_tsdf(
+                sf_cfg.make_volume(), 500.0, centre=(0.0, 0.0, 1300.0)
+            )
+            sf_cam = (
+                Camera.default_depth_camera()
+                .move_to([0.0, 0.0, 100.0])
+                .look_at([0.0, 0.0, 1300.0])
+            )
+            _note("scenefusion depth render")
+            sf_depth = jnp.asarray(
+                render_to_depth_image(
+                    sf_vol, sf_cam, width=width, height=height
+                ),
+                jnp.float32,
+            )
+            sf_flow = jnp.broadcast_to(
+                jnp.array([4.0, 0.0, 0.0], jnp.float32),
+                (height, width, 3),
+            )
+
+            def sf_fn(v):
+                out, _miss, _n, _ovf = _sf_step_pallas(
+                    v, sf_depth, sf_flow, sf_cam,
+                    max_cubes=sf_cfg.max_cubes, nk=sf_cfg.integrate_nk,
+                    threshold_mm=sf_cfg.threshold_mm,
+                    tpu_safe=jax.default_backend() == "tpu",
+                )
+                return out
+
+            _note("scenefusion warmup/compile")
+            sf_times = []
+            v3 = sf_fn(sf_vol)
+            _sync(v3.tsdf)
+            for _ in range(5):
+                t0 = time.perf_counter()
+                v3 = sf_fn(v3)
+                _sync(v3.tsdf)
+                sf_times.append(time.perf_counter() - t0)
+            _RESULT["aux"]["scenefusion_ms_255"] = (
+                float(np.median(sf_times)) * 1e3
+            )
+            _note(f"scenefusion done: {np.median(sf_times)*1e3:.1f} ms")
+        except Exception as e:
+            _note(f"scenefusion failed: {type(e).__name__}: {e}")
+
+    # Differentiable-fusion backward: the analytic pose adjoint (three
+    # tables through the shared line-warp lookup) at the headline grid.
+    if section("pose-adjoint", 60):
+        try:
+            from tsdf_tpu.kernels.integrate import _pose_grad_pallas
+
+            gbar = jnp.ones((grid, grid, grid), jnp.float32)
+            gz = jnp.zeros((grid, grid, grid), jnp.float32)
+
+            def pgrad_fn(v):
+                dd, dw, dxi = _pose_grad_pallas(
+                    v, depth, camera, gbar, gz,
+                    nk=3, cap_weight=False, image_term=True,
+                    interpret=False,
+                )
+                return dxi
+
+            _note("pose-adjoint warmup/compile")
+            dt_pgrad = _bench(pgrad_fn, vol)
+            _RESULT["aux"]["integrate_pose_bwd_ms"] = dt_pgrad * 1e3
+            _note(f"pose-adjoint done: {dt_pgrad*1e3:.1f} ms")
+        except Exception as e:
+            _note(f"pose-adjoint failed: {type(e).__name__}: {e}")
+
+    # Deep-scene raycast (config-1-like: far wall at z=2500, rays sweep
+    # most of the volume): exercises the exact empty-brick skip.
+    if section("raycast-deep", 45):
+        try:
+            wall2 = fixtures.wall_tsdf(vol2, 2500.0)
+            deep = vol2.replace(
+                tsdf=jnp.minimum(vol2.tsdf, wall2.tsdf),
+                weight=jnp.ones_like(vol2.weight),
+            )
+            _note("raycast deep-scene warmup/compile")
+            dt_deep = _bench(ray_fn, deep, cam2)
+            _RESULT["aux"]["raycast_deep_ms"] = dt_deep * 1e3
+            _note(f"raycast deep done: {dt_deep*1e3:.1f} ms")
+        except Exception as e:
+            _note(f"raycast deep failed: {type(e).__name__}: {e}")
+
+    # Colour integrate (depth + packed-RGB two-table kernel).
+    if section("colour-integrate", 45):
+        try:
+            from tsdf_tpu.kernels.integrate import integrate_color_pallas
+
+            volc = make_volume(
+                (grid, grid, grid), 3000.0, offset=(-1500.0, -1500.0, 0.0),
+                with_color=True,
+            )
+            ys = jnp.arange(height, dtype=jnp.uint8)[:, None]
+            xs = jnp.arange(width, dtype=jnp.uint8)[None, :]
+            rgb = jnp.stack(
+                [
+                    jnp.broadcast_to(ys, (height, width)),
+                    jnp.broadcast_to(xs, (height, width)),
+                    jnp.full((height, width), 128, jnp.uint8),
+                ],
+                axis=-1,
+            )
+
+            def cint_fn(v):
+                out, _m = integrate_color_pallas(v, depth, rgb, camera)
+                return out.weight
+
+            _note("colour integrate warmup/compile")
+            dt_cint = _bench(cint_fn, volc)
+            _RESULT["aux"]["integrate_color_ms"] = dt_cint * 1e3
+            _note(f"colour integrate done: {dt_cint*1e3:.1f} ms")
+        except Exception as e:
+            _note(f"colour integrate failed: {type(e).__name__}: {e}")
+
+    # Bilateral pre-filter: lax stencil vs the VMEM-resident Pallas
+    # kernel (bit-equal outputs; the kernel makes one HBM pass).
+    if section("bilateral", 45):
+        try:
+            from tsdf_tpu.kernels.bilateral import bilateral_filter_pallas
+            from tsdf_tpu.ops.bilateral import bilateral_filter
+
+            _note("bilateral warmup/compile")
+            dt_bilat = _bench(bilateral_filter_pallas, depth, iters=20)
+            dt_bilat_lax = _bench(bilateral_filter, depth, iters=20)
+            _RESULT["aux"]["bilateral_ms"] = dt_bilat * 1e3
+            _RESULT["aux"]["bilateral_lax_ms"] = dt_bilat_lax * 1e3
+            _note(
+                f"bilateral done: pallas {dt_bilat*1e3:.2f} ms, "
+                f"lax {dt_bilat_lax*1e3:.2f} ms"
+            )
+        except Exception as e:
+            _note(f"bilateral failed: {type(e).__name__}: {e}")
+
+    _emit()
 
 
 if __name__ == "__main__":

@@ -19,6 +19,10 @@ from tsdf_tpu.utils import profiling
 
 
 def test_sync_returns_scalar_checksum():
+    # plain array
+    assert profiling.sync(jnp.arange(8.0)) == pytest.approx(28.0)
+    # pytree: sync() by design reduces only the FIRST leaf ('a' -> 28);
+    # a full-tree sum would be 32, so the values distinguish the two.
     x = {"a": jnp.arange(8.0), "b": jnp.ones((2, 2))}
     assert profiling.sync(x) == pytest.approx(28.0)
 
@@ -30,7 +34,11 @@ def test_timer_elapsed_rates_and_json_log(caplog):
             t.result = jnp.ones(4)
     assert t.elapsed is not None and t.elapsed >= 0.01
     assert t.rate("voxels") == pytest.approx(1000 / t.elapsed)
-    payload = json.loads(caplog.records[-1].message)
+    # exactly one structured record per span, from OUR logger (a record
+    # propagated by another library mid-span must not break the parse)
+    records = [r for r in caplog.records if r.name == "tsdf_tpu"]
+    assert len(records) == 1
+    payload = json.loads(records[0].message)
     assert payload["span"] == "span"
     assert payload["ms"] >= 10.0
     assert payload["voxels_per_s"] == pytest.approx(t.rate("voxels"))
@@ -57,7 +65,18 @@ def test_profile_to_writes_trace(tmp_path):
 
 
 def test_configure_logging_idempotent_level():
-    profiling.configure_logging(logging.DEBUG)
-    assert profiling.log.level == logging.DEBUG
-    profiling.configure_logging(logging.INFO)
-    assert profiling.log.level == logging.INFO
+    before = list(profiling.log.handlers)
+    try:
+        profiling.configure_logging(logging.DEBUG)
+        assert profiling.log.level == logging.DEBUG
+        n_after_first = len(profiling.log.handlers)
+        profiling.configure_logging(logging.INFO)
+        assert profiling.log.level == logging.INFO
+        # idempotent: the second call must not add another handler
+        assert len(profiling.log.handlers) == n_after_first <= len(before) + 1
+    finally:
+        # remove any handler this test added so later tests don't get
+        # duplicate stderr output
+        for h in profiling.log.handlers[:]:
+            if h not in before:
+                profiling.log.removeHandler(h)

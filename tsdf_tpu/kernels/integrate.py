@@ -1271,6 +1271,13 @@ def _pose_grad_pallas(
                 memory_space=pltpu.VMEM,
             ),
         ),
+        # Three full image planes + 8 double-buffered volume blocks push
+        # the per-program footprint past the default 16 MB scoped-vmem
+        # cap at 512^3/640x480 (measured 18.73 MB — the round-2 bench
+        # compile failure); v5e VMEM is 128 MB, so raise the cap.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
         interpret=interpret,
     )(params, depth_f, gx_img, gy_img, tsdf, weight, gbar_d, gbar_w)
 

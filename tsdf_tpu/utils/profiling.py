@@ -91,10 +91,15 @@ def profile_to(log_dir: str):
 
 
 def configure_logging(level=logging.INFO) -> None:
-    """Structured (one-JSON-line) logging to stderr."""
-    handler = logging.StreamHandler()
-    handler.setFormatter(
-        logging.Formatter("%(asctime)s %(name)s %(message)s")
-    )
-    log.addHandler(handler)
+    """Structured (one-JSON-line) logging to stderr.
+
+    Idempotent: repeated calls only adjust the level — a handler is
+    added once, so re-configuring never duplicates output lines.
+    """
+    if not log.handlers:
+        handler = logging.StreamHandler()
+        handler.setFormatter(
+            logging.Formatter("%(asctime)s %(name)s %(message)s")
+        )
+        log.addHandler(handler)
     log.setLevel(level)
