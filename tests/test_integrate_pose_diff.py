@@ -223,3 +223,83 @@ def test_passthrough_cotangents_flow():
 
     g = jax.grad(loss)(vol.truncation_distance)
     np.testing.assert_allclose(float(g), 2.0)
+
+
+def _setup_line_agreeing():
+    """Fixture pose where the 'line' and 'exact' column conventions
+    sample identical pixels (zero differing voxels), so line-mode
+    gradients must equal the exact/lax ones bit-for-bit in structure."""
+    vol = make_volume((48,) * 3, 1500.0, offset=(-750.0, -750.0, 0.0))
+    vol = vol.replace(weight=jnp.full_like(vol.weight, 2.0))
+    cam = (
+        Camera.from_intrinsics(147.775, 147.525, 82.75, 58.65)
+        .move_to([41.0, -33.0, -300.0])
+        .look_at([0.0, 0.0, 750.0])
+    )
+    depth = jnp.asarray(
+        fixtures.sphere_depth_map(W, H, 300.0, 600.0, 1200.0), jnp.float32
+    )
+    rng = np.random.default_rng(1)
+    gbar = jnp.asarray(rng.normal(size=vol.tsdf.shape), jnp.float32)
+    return vol, cam, depth, gbar
+
+
+def test_line_mode_forward_matches_exact_on_agreeing_pose():
+    from tsdf_tpu.kernels.integrate import integrate_pallas
+
+    vol, cam, depth, _ = _setup_line_agreeing()
+    oe, me = integrate_pallas(vol, depth, cam, interpret=True, mode="exact")
+    ol, ml = integrate_pallas(vol, depth, cam, interpret=True, mode="line")
+    assert int(me) == 0 and int(ml) == 0
+    np.testing.assert_array_equal(np.asarray(oe.tsdf), np.asarray(ol.tsdf))
+    np.testing.assert_array_equal(
+        np.asarray(oe.weight), np.asarray(ol.weight)
+    )
+
+
+@pytest.mark.parametrize("image_term", [False, True])
+def test_line_mode_adjoint_matches_lax(image_term):
+    """mode='line' backward (nk=1, three tables on one candidate sweep)
+    == the lax analytic gradient when both conventions sample the same
+    pixels."""
+    vol, cam, depth, gbar = _setup_line_agreeing()
+
+    def loss(delta):
+        out, _miss = integrate_pose(
+            vol, depth, cam, delta, image_term=image_term,
+            interpret=True, mode="line",
+        )
+        return jnp.sum(gbar * out.tsdf)
+
+    g_k = np.asarray(jax.grad(loss)(jnp.zeros(6)))
+    g_l = np.asarray(
+        pose_gradient_lax(vol, depth, cam, gbar, image_term=image_term)
+    )
+    np.testing.assert_allclose(g_k, g_l, rtol=2e-4, atol=2e-3)
+
+
+def test_line_mode_volume_cotangents_match_exact():
+    """d loss/d (tsdf_in, weight_in) is identical between the line and
+    exact adjoints on the agreeing pose."""
+    vol, cam, depth, gbar = _setup_line_agreeing()
+    rng = np.random.default_rng(2)
+    vol = vol.replace(
+        weight=jnp.asarray(
+            rng.uniform(0.0, 5.0, size=vol.weight.shape), jnp.float32
+        )
+    )
+
+    def loss(v, mode):
+        out, _miss = integrate_pose(
+            v, depth, cam, jnp.zeros(6), interpret=True, mode=mode
+        )
+        return jnp.sum(gbar * out.tsdf) + jnp.sum(0.3 * gbar * out.weight)
+
+    ge = jax.grad(lambda v: loss(v, "exact"))(vol)
+    gl = jax.grad(lambda v: loss(v, "line"))(vol)
+    np.testing.assert_allclose(
+        np.asarray(gl.tsdf), np.asarray(ge.tsdf), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(gl.weight), np.asarray(ge.weight), rtol=1e-6, atol=1e-6
+    )

@@ -1002,13 +1002,17 @@ def _kernel_pose_grad(
     nk: int,
     cap_weight: bool,
     image_term: bool,
+    line_mode: bool = False,
 ):
     """Backward of the integrate w.r.t. the camera pose_inv matrix
     (rows R_wc | t_wc), plus the volume cotangents — the production
     adjoint of ``_kernel`` (twist semantics chain through se3_exp by
     ordinary AD; equality gate: ops/integrate_diff.py). The depth image
     AND its two gradient images ride the shared three-table line-warp
-    lookup, so the backward costs ~1.5x one forward pass."""
+    lookup, so the backward costs ~1.5x one forward pass. With
+    ``line_mode`` the lookup and gates replicate the forward's "line"
+    convention (nk=1): the adjoint must gate EXACTLY like the forward
+    it differentiates, column convention included."""
     pro = _rigid_prologue(params_ref, Y=Y, BX=BX, Yr=Yr, Xr=Xr, Hr=Hr, Wr=Wr)
     trunc, max_weight = pro["trunc"], pro["max_weight"]
     fx, fy = pro["intr"][0], pro["intr"][1]
@@ -1022,9 +1026,22 @@ def _kernel_pose_grad(
     tmps = _pass1_gather(tables, c0, nk, BX, Hp, Wp)
 
     pyrT, c0r = _pass2_index(alpha, beta, pyr, Hp)
+
+    if line_mode:
+        # mirror _kernel's line mode: sample ON the column's image line
+        # at the rounded row; gate identically
+        pxr = c0r
+        in_img = (
+            (c0r >= 0) & (c0r < Wr) & (pyr >= 0) & (pyr < Hr)
+            & pro["vox_valid"]
+        )
+
     (depth_val, gxv, gyv), matched = _pass2_select(
         tmps, pyrT, pxr, c0r, nk, BX, Y, Hp
     )
+
+    if line_mode:
+        matched = matched & (jnp.abs(beta) <= 1.0)
 
     d = tsdf_ref[0].astype(jnp.float32)
     w = weight_ref[0].astype(jnp.float32)
@@ -1096,11 +1113,17 @@ def integrate_pose(
     cap_weight: bool = False,
     image_term: bool = True,
     interpret: bool = False,
+    mode: str = "exact",
 ):
     """Differentiable fusion w.r.t. pose, at production kernel speed.
 
     Forward: fuse ``depth`` at pose ``se3_exp(delta) @ camera.pose``
-    through the line-warp Pallas kernel (exact mode). Backward: the
+    through the line-warp Pallas kernel (``mode`` as in
+    integrate_pallas: "exact" = reference rounding via nk candidates;
+    "line" = the pipeline-default line convention, nk=1, ~3x cheaper
+    backward since the three adjoint tables ride one candidate sweep —
+    the adjoint gates bit-identically to whichever forward ran).
+    Backward: the
     analytic adjoint — including the image-space term AD cannot see
     through the rounded depth lookup (semantics + equality gate:
     ops/integrate_diff.py) — runs as one three-table kernel pass
@@ -1121,7 +1144,7 @@ def integrate_pose(
     pose_inv = jnp.linalg.inv(pose)
     return _integrate_core(
         vol, jnp.asarray(depth, jnp.float32), camera.k, pose_inv,
-        nk, cap_weight, image_term, interpret,
+        nk, cap_weight, image_term, interpret, mode,
     )
 
 
@@ -1140,30 +1163,32 @@ def _cam_from_inv(k: jnp.ndarray, pose_inv: jnp.ndarray) -> Camera:
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def _integrate_core(vol, depth, k, pose_inv, nk, cap_weight, image_term,
-                    interpret):
+                    interpret, mode):
     return integrate_pallas(
         vol, depth, _cam_from_inv(k, pose_inv), cap_weight=cap_weight,
-        nk=nk, interpret=interpret, mode="exact",
+        nk=nk, interpret=interpret, mode=mode,
     )
 
 
 def _integrate_core_fwd(vol, depth, k, pose_inv, nk, cap_weight,
-                        image_term, interpret):
+                        image_term, interpret, mode):
     out = _integrate_core(
-        vol, depth, k, pose_inv, nk, cap_weight, image_term, interpret
+        vol, depth, k, pose_inv, nk, cap_weight, image_term, interpret,
+        mode,
     )
     return out, (vol, depth, k, pose_inv)
 
 
-def _integrate_core_bwd(nk, cap_weight, image_term, interpret, res, g):
+def _integrate_core_bwd(nk, cap_weight, image_term, interpret, mode,
+                        res, g):
     vol, depth, k, pose_inv = res
     gvol, _gmiss = g
     dd, dw, dpinv = _pose_grad_pallas(
         vol, depth, _cam_from_inv(k, pose_inv), gvol.tsdf, gvol.weight,
         nk=nk, cap_weight=cap_weight, image_term=image_term,
-        interpret=interpret,
+        interpret=interpret, mode=mode,
     )
     # Every non-tsdf/weight field of the output volume is an identity
     # pass-through of the input, so its cotangent flows through
@@ -1187,7 +1212,9 @@ _integrate_core.defvjp(_integrate_core_fwd, _integrate_core_bwd)
 
 @partial(
     jax.jit,
-    static_argnames=("nk", "cap_weight", "image_term", "interpret"),
+    static_argnames=(
+        "nk", "cap_weight", "image_term", "interpret", "mode"
+    ),
 )
 def _pose_grad_pallas(
     vol: TSDFVolume,
@@ -1200,11 +1227,15 @@ def _pose_grad_pallas(
     cap_weight: bool,
     image_term: bool,
     interpret: bool,
+    mode: str = "exact",
 ):
     """Run the pose-adjoint kernel: returns (d tsdf_in, d weight_in,
     (4, 4) cotangent of the pose_inv matrix — rows R_wc | t_wc; the
     bottom row is zero)."""
     from ..ops.integrate_diff import depth_image_gradients
+
+    if mode == "line":
+        nk = 1
 
     Z, Yr, Xr = vol.tsdf.shape
     Hr, Wr = depth.shape
@@ -1240,6 +1271,7 @@ def _pose_grad_pallas(
         _kernel_pose_grad,
         Y=Y, BX=BX, Hp=Hp, Wp=Wp, Hr=Hr, Wr=Wr, Yr=Yr, Xr=Xr,
         nk=nk, cap_weight=cap_weight, image_term=image_term,
+        line_mode=(mode == "line"),
     )
     vol_spec = pl.BlockSpec(
         (1, Y, BX), lambda z, xb: (z, 0, xb), memory_space=pltpu.VMEM

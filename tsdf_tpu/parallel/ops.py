@@ -1050,6 +1050,7 @@ def integrate_pose_sharded(
     cap_weight: bool = False,
     image_term: bool = True,
     interpret: bool | None = None,
+    mode: str = "exact",
 ):
     """Differentiable fusion w.r.t. pose on the device mesh.
 
@@ -1080,40 +1081,44 @@ def integrate_pose_sharded(
     pose_inv = jnp.linalg.inv(pose)
     return _integrate_core_sharded(
         vol, jnp.asarray(depth, jnp.float32), camera.k, pose_inv,
-        mesh, nk, cap_weight, image_term, interpret,
+        mesh, nk, cap_weight, image_term, interpret, mode,
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def _integrate_core_sharded(
-    vol, depth, k, pose_inv, mesh, nk, cap_weight, image_term, interpret
+    vol, depth, k, pose_inv, mesh, nk, cap_weight, image_term, interpret,
+    mode,
 ):
     from ..kernels.integrate import _cam_from_inv
 
     return _integrate_sharded_jit(
         vol, depth, _cam_from_inv(k, pose_inv), None, mesh=mesh,
         cap_weight=cap_weight, use_pallas=True, nk=nk,
-        interpret=interpret, mode="exact",
+        interpret=interpret, mode=mode,
     )
 
 
 def _integrate_core_sharded_fwd(
-    vol, depth, k, pose_inv, mesh, nk, cap_weight, image_term, interpret
+    vol, depth, k, pose_inv, mesh, nk, cap_weight, image_term, interpret,
+    mode,
 ):
     out = _integrate_core_sharded(
         vol, depth, k, pose_inv, mesh, nk, cap_weight, image_term,
-        interpret,
+        interpret, mode,
     )
     return out, (vol, depth, k, pose_inv)
 
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "nk", "cap_weight", "image_term", "interpret"),
+    static_argnames=(
+        "mesh", "nk", "cap_weight", "image_term", "interpret", "mode"
+    ),
 )
 def _pose_grad_sharded_jit(
     vol, depth, k, pose_inv, gbar_d, gbar_w, *, mesh, nk, cap_weight,
-    image_term, interpret,
+    image_term, interpret, mode="exact",
 ):
     from ..kernels.integrate import _cam_from_inv, _pose_grad_pallas
 
@@ -1129,7 +1134,7 @@ def _pose_grad_sharded_jit(
         dd, dw, dpinv = _pose_grad_pallas(
             lvol, depth, cam, gbar_d, gbar_w,
             nk=nk, cap_weight=cap_weight, image_term=image_term,
-            interpret=interpret,
+            interpret=interpret, mode=mode,
         )
         return dd, dw, jax.lax.psum(dpinv, "b")[None]
 
@@ -1153,14 +1158,14 @@ def _pose_grad_sharded_jit(
 
 
 def _integrate_core_sharded_bwd(
-    mesh, nk, cap_weight, image_term, interpret, res, g
+    mesh, nk, cap_weight, image_term, interpret, mode, res, g
 ):
     vol, depth, k, pose_inv = res
     gvol, _gmiss = g
     dd, dw, dpinv = _pose_grad_sharded_jit(
         vol, depth, k, pose_inv, gvol.tsdf, gvol.weight,
         mesh=mesh, nk=nk, cap_weight=cap_weight,
-        image_term=image_term, interpret=interpret,
+        image_term=image_term, interpret=interpret, mode=mode,
     )
     # identity pass-through fields keep their output cotangent (see
     # kernels/integrate.py:_integrate_core_bwd)
