@@ -447,3 +447,42 @@ def test_fuse_color_tracked(tum_dir, tmp_path):
         px.astype(np.int32) - [200, 60, 20], axis=-1
     ) < 80
     assert close.mean() > 0.5
+
+
+def test_mesh_color_cli(tum_dir, tmp_path):
+    """fuse --fuse-color writes a colour volume; mesh --color exports a
+    PLY with per-vertex uchar RGB sampled from it."""
+    rgb_dir = tum_dir / "rgb"
+    rgb_dir.mkdir(exist_ok=True)
+    for i in range(3):
+        img = np.zeros((H, W, 3), np.uint8)
+        img[:] = [40, 160, 220]
+        save_png(rgb_dir / f"{i}.0.png", img)
+    out = tmp_path / "c.tsdf"
+    rc = main(
+        ["fuse", "-d", str(tum_dir), "-m", "3", "-s", "48",
+         "--physical", "2000", "--fuse-color", "-o", str(out),
+         "--scene", "", "--normals", "", "--mesh", "",
+         *CAM_ARGS]
+    )
+    assert rc in (0, None)
+    ply = tmp_path / "m.ply"
+    rc = main(["mesh", "-f", str(out), "-o", str(ply), "--color"])
+    assert rc in (0, None)
+    lines = ply.read_text().splitlines()
+    assert "property uchar red" in lines
+    hdr_end = lines.index("end_header")
+    n_verts = int(
+        next(l for l in lines if l.startswith("element vertex")).split()[2]
+    )
+    assert n_verts > 0
+    vert_rows = np.array(
+        [r.split() for r in lines[hdr_end + 1 : hdr_end + 1 + n_verts]],
+        np.float64,
+    )
+    # fused colour reaches the exported vertices (zero-weight voxels
+    # around the surface dilute the trilinear blend toward 0)
+    cols = vert_rows[:, 3:6]
+    assert (cols > 0).any()
+    close = np.linalg.norm(cols - [40, 160, 220], axis=-1) < 120
+    assert close.mean() > 0.3

@@ -264,3 +264,67 @@ def test_chunk_overflow_flag_and_unchunked_fallback():
     gv, rv = np.asarray(got.vertices), np.asarray(ref.vertices)
     m = np.asarray(got.valid)
     np.testing.assert_allclose(gv[m], rv[m], atol=1e-4)
+
+
+def test_sample_color_at_linear_field():
+    """Trilinear colour sampling reproduces a linear colour ramp exactly
+    (trilinear interpolation is exact on linear functions), and lookups
+    clamp at the lattice border."""
+    from tsdf_tpu.ops.marching_cubes import sample_color_at
+
+    vol = fixtures.sphere_tsdf(
+        make_volume((32,) * 3, 640.0, with_color=True), 200.0
+    )
+    # colour ramp: R tracks x, G tracks y, B tracks z (4 units / voxel)
+    idx = np.arange(32, dtype=np.uint8) * 4
+    col = np.zeros((32, 32, 32, 3), np.uint8)
+    col[..., 0] = idx[None, None, :]
+    col[..., 1] = idx[None, :, None]
+    col[..., 2] = idx[:, None, None]
+    vol = vol.replace(color=jnp.asarray(col))
+
+    soup = extract_surface(vol, on_cpu=True)
+    verts, _tris = soup_to_numpy(soup)
+    assert len(verts) > 0
+    got = sample_color_at(vol, verts)
+
+    offset = np.asarray(vol.offset)
+    vs = np.asarray(vol.voxel_size)
+    cf = (verts - offset) / vs - 0.5  # continuous voxel coords (x,y,z)
+    expect = np.clip(np.round(np.clip(cf, 0.0, 31.0) * 4.0), 0, 255)
+    np.testing.assert_allclose(got.astype(np.float64), expect, atol=1.0)
+
+    # border clamp: a far-outside point gets the corner colour
+    far = np.array([[1e6, 1e6, 1e6]], np.float32)
+    np.testing.assert_array_equal(
+        sample_color_at(vol, far)[0], [124, 124, 124]
+    )
+
+
+def test_sample_color_requires_color_volume():
+    from tsdf_tpu.ops.marching_cubes import sample_color_at
+
+    vol = fixtures.sphere_tsdf(make_volume((16,) * 3, 320.0), 100.0)
+    with pytest.raises(ValueError, match="colour"):
+        sample_color_at(vol, np.zeros((1, 3), np.float32))
+
+
+def test_write_ply_with_colors(tmp_path):
+    from tsdf_tpu.io.ply import write_ply
+
+    verts = np.array(
+        [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32
+    )
+    tris = np.array([[0, 1, 2]], np.int64)
+    cols = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    path = tmp_path / "c.ply"
+    write_ply(path, verts, tris, colors=cols)
+    lines = path.read_text().splitlines()
+    assert "property uchar red" in lines
+    hdr_end = lines.index("end_header")
+    first_v = lines[hdr_end + 1].split()
+    assert len(first_v) == 6 and first_v[3:] == ["255", "0", "0"]
+    assert lines[hdr_end + 1 + 3] == "3 0 1 2"
+
+    with pytest.raises(ValueError, match="colours"):
+        write_ply(tmp_path / "bad.ply", verts, tris, colors=cols[:2])

@@ -105,9 +105,13 @@ def _parse_mesh(args):
     return make_mesh(n_bricks=nb, n_rays=nr), None
 
 
-def _write_mesh(vol, path, max_cubes, max_vertices):
+def _write_mesh(vol, path, max_cubes, max_vertices, color=False):
     from .io.ply import write_ply
-    from .ops.marching_cubes import extract_surface, soup_to_numpy
+    from .ops.marching_cubes import (
+        extract_surface,
+        sample_color_at,
+        soup_to_numpy,
+    )
 
     soup = extract_surface(
         vol, max_cubes=max_cubes, max_vertices=max_vertices
@@ -127,7 +131,18 @@ def _write_mesh(vol, path, max_cubes, max_vertices):
             file=sys.stderr,
         )
     verts, tris = soup_to_numpy(soup)
-    write_ply(path, verts, tris)
+    colors = None
+    if color:
+        if vol.color is None:
+            print(
+                "warning: --color requested but the volume has no "
+                "colour field (fuse with --fuse-color); writing "
+                "position-only PLY",
+                file=sys.stderr,
+            )
+        else:
+            colors = sample_color_at(vol, verts)
+    write_ply(path, verts, tris, colors=colors)
     print(f"wrote {path} ({len(verts)} vertices, {len(tris)} triangles)")
 
 
@@ -229,7 +244,8 @@ def cmd_fuse(args):
             _render_outputs(vol, camera, args)
             if args.mesh:
                 _write_mesh(
-                    vol, args.mesh, args.max_cubes, args.max_vertices
+                    vol, args.mesh, args.max_cubes, args.max_vertices,
+                    color=getattr(args, "fuse_color", False),
                 )
             return
         mesh, err = _parse_mesh(args)
@@ -363,7 +379,10 @@ def cmd_fuse(args):
     camera = camera.set_pose(jnp.asarray(first_pose))
     _render_outputs(vol, camera, args)
     if args.mesh:
-        _write_mesh(vol, args.mesh, args.max_cubes, args.max_vertices)
+        _write_mesh(
+            vol, args.mesh, args.max_cubes, args.max_vertices,
+            color=getattr(args, "fuse_color", False),
+        )
 
 
 def cmd_render(args):
@@ -386,7 +405,10 @@ def cmd_mesh(args):
     from .io.tsdf_file import load_tsdf
 
     vol = load_tsdf(args.file)
-    _write_mesh(vol, args.out, args.max_cubes, args.max_vertices)
+    _write_mesh(
+        vol, args.out, args.max_cubes, args.max_vertices,
+        color=args.color,
+    )
 
 
 def cmd_view(args):
@@ -571,6 +593,10 @@ def main(argv=None):
     p.add_argument("-o", "--out", default="mesh.ply")
     p.add_argument("--max-cubes", type=int, default=1 << 18)
     p.add_argument("--max-vertices", type=int, default=1 << 20)
+    p.add_argument(
+        "--color", action="store_true",
+        help="per-vertex RGB sampled from the fused colour volume",
+    )
     p.set_defaults(fn=cmd_mesh)
 
     p = sub.add_parser("view", help="slice heat-maps of a .tsdf")

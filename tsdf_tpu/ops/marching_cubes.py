@@ -738,3 +738,55 @@ def soup_to_numpy(soup: TriangleSoup):
     verts = verts[:n]
     tris = np.arange(n, dtype=np.int32).reshape(-1, 3)
     return verts, tris
+
+
+def sample_color_at(vol: TSDFVolume, vertices) -> np.ndarray:
+    """Host-side trilinear sample of the fused colour volume at world
+    points — per-vertex colours for mesh export (beyond reference: the
+    reference allocates/saves colours but never writes or reads them,
+    TSDFVolume.hpp:23-26).
+
+    Mesh export already ends on the host (PLY is host I/O), so the
+    lookup is plain numpy — no TPU gather in any hot path. Sampling
+    convention matches trilinear TSDF interpolation: voxel centres at
+    offset + (i + 0.5) * voxel_size, coordinates clamped to the lattice
+    (the reference's tsdf_value_at clamp, TSDF_utilities.cu:29-37).
+
+    Args:
+      vol: volume with ``color`` (Z, Y, X, 3) u8 (see with_color()).
+      vertices: (N, 3) world-mm points (x, y, z).
+
+    Returns:
+      (N, 3) u8 RGB.
+    """
+    if vol.color is None:
+        raise ValueError(
+            "volume has no colour field; fuse with rgb / with_color()"
+        )
+    col = np.asarray(vol.color, dtype=np.float32)  # (Z, Y, X, 3)
+    verts = np.asarray(vertices, dtype=np.float32)
+    offset = np.asarray(vol.offset, dtype=np.float32)
+    vs = np.asarray(vol.voxel_size, dtype=np.float32)
+    sz, sy, sx = col.shape[:3]
+
+    # continuous lattice coords: centre of voxel i at offset+(i+0.5)*vs
+    cf = (verts - offset[None, :]) / vs[None, :] - 0.5  # (N,3) x,y,z
+    dims = np.array([sx, sy, sz], dtype=np.int64)
+    i0 = np.floor(cf).astype(np.int64)
+    frac = cf - i0
+    i0c = np.clip(i0, 0, dims - 1)
+    i1c = np.clip(i0 + 1, 0, dims - 1)
+
+    out = np.zeros((len(verts), 3), np.float32)
+    for dz in (0, 1):
+        zi = (i1c if dz else i0c)[:, 2]
+        wz = np.where(dz, frac[:, 2], 1.0 - frac[:, 2])
+        for dy in (0, 1):
+            yi = (i1c if dy else i0c)[:, 1]
+            wy = np.where(dy, frac[:, 1], 1.0 - frac[:, 1])
+            for dx in (0, 1):
+                xi = (i1c if dx else i0c)[:, 0]
+                wx = np.where(dx, frac[:, 0], 1.0 - frac[:, 0])
+                w = (wz * wy * wx).astype(np.float32)
+                out += w[:, None] * col[zi, yi, xi]
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)

@@ -574,7 +574,15 @@ def get_incremental_transformation_sharded(
         )
         err = jnp.array(0.0, jnp.float32)
         inl = jnp.array(0.0, jnp.float32)
-        eps = jnp.asarray(conv_eps, jnp.float32)
+        # concrete 0.0 stays concrete: run_level then compiles the
+        # static-count fori_loop (see tracking/icp.py — the while_loop
+        # path has pathological TPU compile times)
+        eps = (
+            conv_eps
+            if isinstance(conv_eps, (int, float))
+            and float(conv_eps) == 0.0
+            else jnp.asarray(conv_eps, jnp.float32)
+        )
         for lvl in range(levels - 1, -1, -1):
             vc, nc, vp, np_, dp_prev, intr = maps[lvl]
             lfx, lfy, lcx, lcy = intr[0], intr[1], intr[2], intr[3]

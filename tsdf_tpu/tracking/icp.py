@@ -369,7 +369,15 @@ def run_level(step_fn, n_iters: int, eps, pose, err, inl):
     drift apart. ``step_fn(pose) -> (A, b, res_sq, inliers)``, reduced
     however the caller needs (masked sums single-device; psum'd on the
     mesh, where the replicated solve keeps the exit branch identical on
-    every device)."""
+    every device).
+
+    When ``eps`` is a concrete 0.0 (the default: the reference's fixed
+    10/5/4 schedule, ICPOdometry.cpp:99-134) the loop is a STATIC-count
+    lax.fori_loop. A while_loop wrapping the banded gather step compiles
+    pathologically on this TPU stack (>50 min for the fused tracked
+    pipeline, vs minutes with the static loop — the round-3 bench
+    stall); the while_loop is reserved for eps > 0 where the early exit
+    actually buys iterations."""
 
     def body(carry):
         i, pose, err, inl, _score = carry
@@ -378,13 +386,21 @@ def run_level(step_fn, n_iters: int, eps, pose, err, inl):
         err = jnp.sqrt(res_sq / jnp.maximum(inliers, 1.0))
         return i + 1, pose, err, inliers, score
 
+    static_off = (
+        isinstance(eps, (int, float)) and float(eps) == 0.0
+    )
+    init = (0, pose, err, inl, jnp.float32(jnp.inf))
+    if static_off:
+        _, pose, err, inl, _ = jax.lax.fori_loop(
+            0, n_iters, lambda _i, c: body(c), init
+        )
+        return pose, err, inl
+
     def cond(carry):
         i, _pose, _err, _inl, score = carry
         return (i < n_iters) & (score >= eps)
 
-    _, pose, err, inl, _ = jax.lax.while_loop(
-        cond, body, (0, pose, err, inl, jnp.float32(jnp.inf))
-    )
+    _, pose, err, inl, _ = jax.lax.while_loop(cond, body, init)
     return pose, err, inl
 
 
@@ -463,7 +479,13 @@ def get_incremental_transformation(
     err = jnp.array(0.0, jnp.float32)
     inl = jnp.array(0.0, jnp.float32)
 
-    eps = jnp.asarray(conv_eps, jnp.float32)
+    # keep a concrete 0.0 concrete: run_level picks the static-count
+    # fori_loop for it (the while_loop path compiles pathologically)
+    eps = (
+        conv_eps
+        if isinstance(conv_eps, (int, float)) and float(conv_eps) == 0.0
+        else jnp.asarray(conv_eps, jnp.float32)
+    )
 
     for lvl in range(levels - 1, -1, -1):
         vc, nc, vp, np_, lfx, lfy, lcx, lcy = maps[lvl]
