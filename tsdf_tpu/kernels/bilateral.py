@@ -35,21 +35,31 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-def _kernel(d_ref, out_ref, *, H, W, radius, inv_sc2, inv_ss2):
-    # (H, W) is the vreg-aligned output shape; d_ref holds the depth
-    # padded by `radius` zeros on top/left and up to the aligned input
-    # shape on bottom/right. Zero depth = no data everywhere, so the
-    # alignment padding is inert (valid/tval masks are False there).
-    pd = d_ref[...]
-    centre = pd[radius : radius + H, radius : radius + W]
+def _kernel(d_ref, out_ref, *, RB, W, radius, inv_sc2, inv_ss2):
+    # One program filters an (RB, W) row block. d_ref holds the WHOLE
+    # depth image padded by `radius` zeros on top/left and up to the
+    # aligned input shape on bottom/right; the program reads its
+    # (RB + 2*radius)-row window with a ref-level dynamic slice. Zero
+    # depth = no data everywhere, so alignment padding is inert
+    # (valid/tval masks are False there).
+    #
+    # Why a grid at all (the image fits in VMEM): the (2r+1)^2 tap loop
+    # is fully unrolled, so program size scales as taps x vregs — one
+    # whole-image program is ~121 x 300 vregs of unaligned-shift code
+    # and sends the Mosaic compile pathological (>8 min standalone,
+    # >50 min fused into the tracked step; the round-2/3 bench stalls).
+    # Row blocks keep the identical math at ~1/12 the program size.
+    i = pl.program_id(0)
+    pd = d_ref[pl.ds(i * RB, RB + 2 * radius), :]
+    centre = pd[radius : radius + RB, radius : radius + W]
     valid = centre > 0.0
-    num = jnp.zeros((H, W), jnp.float32)
-    den = jnp.zeros((H, W), jnp.float32)
+    num = jnp.zeros((RB, W), jnp.float32)
+    den = jnp.zeros((RB, W), jnp.float32)
     for dy in range(-radius, radius + 1):
         for dx in range(-radius, radius + 1):
             w_s = math.exp(-(dx * dx + dy * dy) * inv_ss2)
             tap = pd[
-                radius + dy : radius + dy + H,
+                radius + dy : radius + dy + RB,
                 radius + dx : radius + dx + W,
             ]
             tval = tap > 0.0
@@ -82,7 +92,11 @@ def bilateral_filter_pallas(
     inv_sc2 = 1.0 / (sigma_colour * sigma_colour)
     inv_ss2 = 1.0 / (sigma_space * sigma_space)
 
-    Ho = _round_up(H, _SUB)
+    # Row-block size: a multiple of the sublane tile that keeps each
+    # program's unrolled tap loop small (see _kernel). 24 rows -> 20
+    # programs at 480p.
+    RB = 24
+    Ho = _round_up(H, RB)
     Wo = _round_up(W, _LANE)
     Hp = _round_up(Ho + 2 * radius, _SUB)
     Wp = _round_up(Wo + 2 * radius, _LANE)
@@ -93,11 +107,24 @@ def bilateral_filter_pallas(
     out = pl.pallas_call(
         partial(
             _kernel,
-            H=Ho, W=Wo, radius=radius, inv_sc2=inv_sc2, inv_ss2=inv_ss2,
+            RB=RB, W=Wo, radius=radius, inv_sc2=inv_sc2, inv_ss2=inv_ss2,
         ),
+        grid=(Ho // RB,),
         out_shape=jax.ShapeDtypeStruct((Ho, Wo), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[
+            pl.BlockSpec(
+                (Hp, Wp), lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (RB, Wo), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        # the unrolled tap loop's live temporaries overflow the default
+        # 16MB scoped-vmem cap (measured 23.85M at RB=40); v5e VMEM is
+        # 128MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
         interpret=interpret,
     )(pd)[0:H, 0:W]
 
