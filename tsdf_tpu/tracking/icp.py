@@ -371,36 +371,36 @@ def run_level(step_fn, n_iters: int, eps, pose, err, inl):
     mesh, where the replicated solve keeps the exit branch identical on
     every device).
 
-    When ``eps`` is a concrete 0.0 (the default: the reference's fixed
-    10/5/4 schedule, ICPOdometry.cpp:99-134) the loop is a STATIC-count
-    lax.fori_loop. A while_loop wrapping the banded gather step compiles
-    pathologically on this TPU stack (>50 min for the fused tracked
-    pipeline, vs minutes with the static loop — the round-3 bench
-    stall); the while_loop is reserved for eps > 0 where the early exit
-    actually buys iterations."""
+    The loop is ALWAYS a static-count lax.fori_loop: a lax.while_loop
+    wrapping the banded gather step compiles pathologically on this TPU
+    stack (>50 min for the fused tracked pipeline vs minutes with the
+    static loop — the round-3 bench stall). The early exit is instead a
+    lax.cond inside the fixed-count body: converged iterations execute
+    the identity branch, so the Gauss-Newton work (the expensive part)
+    is still skipped at runtime while the trip count stays static. At a
+    concrete eps == 0.0 (the default: the reference's fixed 10/5/4
+    schedule, ICPOdometry.cpp:99-134) the cond is omitted entirely."""
 
     def body(carry):
-        i, pose, err, inl, _score = carry
+        pose, err, inl, _score = carry
         A, b, res_sq, inliers = step_fn(pose)
         pose, score = gn_pose_update(A, b, pose)
         err = jnp.sqrt(res_sq / jnp.maximum(inliers, 1.0))
-        return i + 1, pose, err, inliers, score
+        return pose, err, inliers, score
 
     static_off = (
         isinstance(eps, (int, float)) and float(eps) == 0.0
     )
-    init = (0, pose, err, inl, jnp.float32(jnp.inf))
+    init = (pose, err, inl, jnp.float32(jnp.inf))
     if static_off:
-        _, pose, err, inl, _ = jax.lax.fori_loop(
-            0, n_iters, lambda _i, c: body(c), init
-        )
-        return pose, err, inl
+        fori_body = lambda _i, c: body(c)  # noqa: E731
+    else:
+        def fori_body(_i, carry):
+            return jax.lax.cond(
+                carry[3] >= eps, body, lambda c: c, carry
+            )
 
-    def cond(carry):
-        i, _pose, _err, _inl, score = carry
-        return (i < n_iters) & (score >= eps)
-
-    _, pose, err, inl, _ = jax.lax.while_loop(cond, body, init)
+    pose, err, inl, _ = jax.lax.fori_loop(0, n_iters, fori_body, init)
     return pose, err, inl
 
 
@@ -455,10 +455,9 @@ def get_incremental_transformation(
     camera frame (ref: ICPOdometry::getIncrementalTransformation
     ICPOdometry.cpp:97-135).
 
-    Not reverse-mode differentiable (the levels run as lax.while_loop
-    for the early exit). Classic ICP tracking is not part of any
-    gradient path in this framework — differentiable pose estimation
-    goes through ops/raycast_diff.py / kernels.integrate_pose instead.
+    Not a gradient path: classic ICP tracking is not differentiated
+    anywhere in this framework — differentiable pose estimation goes
+    through ops/raycast_diff.py / kernels.integrate_pose instead.
     """
     pyr_c = depth_pyramid(depth_curr, levels)
     pyr_p = depth_pyramid(depth_prev, levels)
