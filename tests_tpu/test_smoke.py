@@ -207,7 +207,10 @@ def test_raycast_empty_brick_skip_compiled():
     vp, _ = raycast_pallas(vol, cam, width=W, height=H)
     hr = np.isfinite(np.asarray(vr)).all(-1)
     hp = np.isfinite(np.asarray(vp)).all(-1)
-    assert hp.mean() > 0.9  # wall fills the background
+    # wall + sphere fill the frustum wherever it overlaps the volume:
+    # ~0.77 from this camera (image corners exit the 2 m box laterally
+    # before the wall depth)
+    assert hp.mean() > 0.7
     assert (hr == hp).mean() > 0.999
     both = hr & hp
     err = np.linalg.norm(np.asarray(vr)[both] - np.asarray(vp)[both], axis=-1)

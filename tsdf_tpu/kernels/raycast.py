@@ -165,10 +165,18 @@ def _sweep_bricks(
         v_pix = cv + sv * ry
 
         valid = (
-            (u_pix >= 0.0)
-            & (u_pix <= Xr - 1.0)
-            & (v_pix >= 0.0)
-            & (v_pix <= Yr - 1.0)
+            # The sample domain is the PHYSICAL AABB (lattice coords
+            # [-0.5, N-0.5]), matching the lax march / the reference's
+            # tsdf_value_at clamp (TSDF_utilities.cu:29-37): samples in
+            # the outer half-voxel shell interpolate against edge-
+            # clamped taps (u_s/vstar clips below). Gating at voxel
+            # CENTRES dropped rays that enter through a side face and
+            # hit within the shell (240/19k rays on the deep-wall
+            # fixture, tests_tpu).
+            (u_pix >= -0.5)
+            & (u_pix <= Xr - 0.5)
+            & (v_pix >= -0.5)
+            & (v_pix <= Yr - 0.5)
             & (s_idx < s_hi)  # inside this brick's sweep range and < Z
             # slab plane must be IN FRONT of this ray (t > 0): a slab
             # behind the camera projects to the ray's mirror image, and
@@ -225,6 +233,16 @@ def _sweep_bricks(
         fvalid = valid & ~dead
         entry_hit = fvalid & (state == _S_NOPREV) & (s <= 0.0)
         cross = fvalid & prev_valid & (prev_s > 0.0) & (s <= 0.0)
+        # Exit-transition crossing: when a marching ray leaves the AABB
+        # through a side face, its final sub-slab segment is otherwise
+        # unsampled — a surface within that last half-voxel is missed
+        # (the lax march keeps sampling up to the exact exit t). The
+        # gathers are dense, so the exit slab's edge-clamped sample is
+        # already computed: use it once to close the interval. The
+        # secant lands within half a voxel of the lax hit.
+        exit_cross = (
+            prev_valid & ~valid & ~dead & (prev_s > 0.0) & (s <= 0.0)
+        )
 
         z_prev = zk - sweep_sign * vs[2]
         denom = prev_s - s
@@ -232,7 +250,7 @@ def _sweep_bricks(
         frac = prev_s / denom
         z_cross = z_prev + frac * (zk - z_prev)
 
-        new_hit = entry_hit | cross
+        new_hit = entry_hit | cross | exit_cross
         hit_z = jnp.where(
             new_hit, jnp.where(entry_hit, zk, z_cross), hit_z
         )
