@@ -232,7 +232,8 @@ def test_integrate_color_compiled_matches_lax():
     rng = np.random.default_rng(9)
     rgb = jnp.asarray(rng.integers(0, 256, size=(H, W, 3)), jnp.uint8)
     ref = integrate(vol, depth, cam, rgb=rgb)
-    out, miss = integrate_color_pallas(vol, depth, rgb, cam)
+    # exact mode: the reference rounding convention, bit-comparable
+    out, miss = integrate_color_pallas(vol, depth, rgb, cam, mode="exact")
     assert int(miss) == 0
     np.testing.assert_allclose(
         np.asarray(out.tsdf), np.asarray(ref.tsdf), atol=5e-3
@@ -244,6 +245,13 @@ def test_integrate_color_compiled_matches_lax():
         np.asarray(out.color, np.int32) - np.asarray(ref.color, np.int32)
     )
     assert dc.max() <= 1
+    # line mode (the production default): same projection evaluated on
+    # the column's image line — a few half-pixel-sliver voxels may take
+    # the adjacent pixel (as in test_integrate_compiled_matches_lax)
+    outl, missl = integrate_color_pallas(vol, depth, rgb, cam)
+    assert int(missl) == 0
+    w_equal = (np.asarray(outl.weight) == np.asarray(ref.weight)).mean()
+    assert w_equal >= 0.9999
 
 
 def test_integrate_pose_adjoint_compiled():
@@ -282,3 +290,57 @@ def test_bilateral_compiled_matches_lax():
     a = np.asarray(bilateral_filter(d))
     b = np.asarray(bilateral_filter_pallas(d))
     np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_pose_adjoint_line_mode_compiled():
+    """mode='line' backward (nk=1, three tables on one candidate sweep)
+    compiles and matches the exact-mode gradient on an agreeing pose."""
+    from tsdf_tpu.camera import Camera
+    from tsdf_tpu.kernels.integrate import integrate_pose
+
+    vol = make_volume((48,) * 3, 1500.0, offset=(-750.0, -750.0, 0.0))
+    vol = vol.replace(weight=jnp.full_like(vol.weight, 2.0))
+    cam = (
+        Camera.from_intrinsics(147.775, 147.525, 82.75, 58.65)
+        .move_to([41.0, -33.0, -300.0])
+        .look_at([0.0, 0.0, 750.0])
+    )
+    depth = jnp.asarray(
+        fixtures.sphere_depth_map(W, H, 300.0, 600.0, 1200.0), jnp.float32
+    )
+    rng = np.random.default_rng(12)
+    gbar = jnp.asarray(rng.normal(size=vol.tsdf.shape), jnp.float32)
+
+    def loss(delta, mode):
+        out, _ = integrate_pose(vol, depth, cam, delta, mode=mode)
+        return jnp.sum(gbar * out.tsdf)
+
+    g_line = np.asarray(jax.grad(lambda d: loss(d, "line"))(jnp.zeros(6)))
+    g_exact = np.asarray(jax.grad(lambda d: loss(d, "exact"))(jnp.zeros(6)))
+    np.testing.assert_allclose(g_line, g_exact, rtol=2e-4, atol=2e-3)
+
+
+def test_pose_adjoint_full_spec_compiles():
+    """The pose-adjoint kernel COMPILES at the full 512^3 / 640x480 spec
+    (regression: round 2's kernel OOM'd the 16MB scoped-vmem cap at this
+    size and the bench compile failed) and returns finite gradients.
+    Warm-cache cheap; cold it is a few-second compile."""
+    from tsdf_tpu.kernels.integrate import _pose_grad_pallas
+
+    grid = 512
+    vol = make_volume((grid,) * 3, 3000.0, offset=(-1500.0, -1500.0, 0.0))
+    cam = _cam(off=True)
+    depth = jnp.asarray(
+        fixtures.sphere_depth_map(640, 480, 150.0, 1000.0, 2500.0),
+        jnp.float32,
+    )
+    gbar = jnp.ones((grid,) * 3, jnp.float32)
+    gz = jnp.zeros((grid,) * 3, jnp.float32)
+    dd, dw, dxi = _pose_grad_pallas(
+        vol, depth, cam, gbar, gz,
+        nk=3, cap_weight=False, image_term=True, interpret=False,
+    )
+    assert np.isfinite(np.asarray(dxi)).all()
+    assert np.isfinite(float(jnp.sum(dd))) and np.isfinite(
+        float(jnp.sum(dw))
+    )
