@@ -9,7 +9,10 @@ cannot see through the rounded lookup). Loss: the fused volume vs a
 target volume fused at the true pose, over commonly-updated voxels.
 
 Run on the v5e:  timeout 570 python tools/run_config4b.py
-Grid via POSE_GRID (default 512).
+Grid via POSE_GRID (default 512); lookup convention via POSE_MODE
+(default "line" — the pipeline-default convention whose backward runs
+the three adjoint tables on ONE candidate sweep: 23.1 ms at 512^3 vs
+57.3 ms exact, measured round 3).
 """
 
 import os
@@ -37,6 +40,7 @@ from tsdf_tpu.utils import fixtures
 
 def main():
     grid = int(os.environ.get("POSE_GRID", "512"))
+    mode = os.environ.get("POSE_MODE", "line")
     W, H = 640, 480
     interpret = jax.default_backend() != "tpu"
 
@@ -61,15 +65,18 @@ def main():
     depth = jnp.asarray(depth)
 
     target, miss = integrate_pose(
-        vol, depth, cam, jnp.zeros(6), interpret=interpret
+        vol, depth, cam, jnp.zeros(6), interpret=interpret, mode=mode
     )
     assert int(miss) == 0
 
+    # volumes MUST be jit ARGUMENTS: a closed-over 512^3 grid
+    # serializes into the remote-compile request (HTTP 413 — see
+    # BASELINE.md round-2 closure-constants note)
     @jax.jit
-    def loss_and_grad(delta):
+    def _loss_and_grad(delta, vol, target, depth):
         def loss(d):
             out, _ = integrate_pose(
-                vol, depth, cam, d, interpret=interpret
+                vol, depth, cam, d, interpret=interpret, mode=mode
             )
             m = (target.weight > 0) & (out.weight > 0)
             n = jnp.maximum(jnp.sum(m.astype(jnp.float32)), 1.0)
@@ -78,6 +85,9 @@ def main():
             ) / n
 
         return jax.value_and_grad(loss)(delta)
+
+    def loss_and_grad(delta):
+        return _loss_and_grad(delta, vol, target, depth)
 
     true_delta = jnp.asarray(
         [0.004, -0.003, 0.002, 12.0, -9.0, 8.0], jnp.float32
