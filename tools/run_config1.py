@@ -15,6 +15,9 @@ import sys
 import tempfile
 import time
 
+import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

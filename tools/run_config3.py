@@ -17,6 +17,9 @@ Run: PYTHONPATH=. timeout 570 python tools/run_config3.py [n_frames]
 import sys
 import time
 
+import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

@@ -13,6 +13,9 @@ Run: PYTHONPATH=. timeout 1700 python tools/run_config4.py [grid]
 import sys
 import time
 
+import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
