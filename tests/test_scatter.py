@@ -217,6 +217,55 @@ def test_sorted_hint_with_leading_sentinels():
     np.testing.assert_array_equal(np.asarray(out2), expect2)
 
 
+def test_gather_flat_matches_take():
+    """gather_flat == jnp.take across table widths, fill modes, and
+    index streams incl. out-of-range, duplicates, and reverse order
+    (the un-sort must restore the original stream order)."""
+    from tsdf_tpu.ops.scatter import gather_flat
+
+    rng = np.random.RandomState(11)
+    for n, D, C in [(300, 1, 500), (70000, 4, 3000), (1000, 3, 1)]:
+        tab = rng.randn(n, D).astype(np.float32)
+        tab_in = tab[:, 0] if D == 1 else tab
+        lin = rng.randint(-7, n + 7, size=C).astype(np.int32)
+        for fill in ("clip", "zero"):
+            got = np.asarray(
+                gather_flat(
+                    jnp.asarray(tab_in), jnp.asarray(lin),
+                    window=64, rows_per_patch=8, fill_mode=fill,
+                )
+            )
+            ref = tab[np.clip(lin, 0, n - 1)]
+            if fill == "zero":
+                ref = np.where(
+                    ((lin < 0) | (lin >= n))[:, None], 0.0, ref
+                )
+            if D == 1:
+                ref = ref[:, 0]
+            np.testing.assert_array_equal(got, ref)
+
+
+def test_gather_flat_dead_tail_and_sparse_span():
+    """A stream that is mostly out-of-range sentinels (the SceneFusion
+    dead-slot shape) and live indices separated by more than
+    rows_per_patch rows (prefix consumption must still advance)."""
+    from tsdf_tpu.ops.scatter import gather_flat
+
+    n = 1 << 18
+    tab = jnp.arange(n, dtype=jnp.float32)
+    live = np.array([0, 4096, 65536, 131072, n - 1], np.int32)
+    lin = np.full(4096, n, np.int32)  # dead sentinel
+    lin[: len(live)] = live[::-1]  # live prefix, unsorted
+    got = np.asarray(
+        gather_flat(
+            tab, jnp.asarray(lin),
+            window=32, rows_per_patch=8, fill_mode="zero",
+        )
+    )
+    np.testing.assert_array_equal(got[: len(live)], live[::-1])
+    np.testing.assert_array_equal(got[len(live):], 0.0)
+
+
 def test_lane_gather_cpu_fallback_nan_table():
     """The CPU fallback's out-of-range-returns-0 must be a where, not a
     mask multiply: a NaN at the clipped table position must not leak

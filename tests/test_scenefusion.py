@@ -323,6 +323,46 @@ def test_correspondence_uses_camera_depth_not_world_z():
     assert np.asarray(fl)[1:].sum() == 0.0
 
 
+def test_correspondence_blocked_gather_path():
+    """Slot streams beyond the 64k block size take the gather_flat
+    block walk (the jnp.take lowering was the fused step's compile
+    bomb); it must agree slot-for-slot with the small-N take path."""
+    from tsdf_tpu.pipelines.scenefusion import _slot_correspondence
+
+    cam = Camera.from_intrinsics(FX, FY, CX, CY).move_to([0.0, 0.0, 0.0])
+    rng = np.random.RandomState(5)
+    depth = jnp.asarray(
+        900.0 + 50.0 * rng.rand(H, W).astype(np.float32)
+    )
+    flow = jnp.asarray(rng.randn(H, W, 3).astype(np.float32))
+    base = jnp.asarray(
+        rng.randn(64, 3).astype(np.float32) * 400.0
+        + np.array([0.0, 0.0, 920.0], np.float32)
+    )
+    corr_s, flow_s = _slot_correspondence(
+        base, jnp.ones(64, bool), depth, cam, flow, 40.0
+    )
+    assert bool(jnp.any(corr_s)) and bool(~jnp.all(corr_s))
+
+    N = (1 << 16) * 2 + 12345  # three blocks, ragged tail
+    reps = -(-N // 64)
+    verts = jnp.tile(base, (reps, 1))[:N]
+    valid = jnp.asarray(rng.rand(N) < 0.7)
+    corr_b, flow_b = _slot_correspondence(
+        verts, valid, depth, cam, flow, 40.0
+    )
+    idx = np.arange(N) % 64
+    np.testing.assert_array_equal(
+        np.asarray(corr_b), np.asarray(corr_s)[idx] & np.asarray(valid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(flow_b),
+        np.where(
+            np.asarray(corr_b)[:, None], np.asarray(flow_s)[idx], 0.0
+        ),
+    )
+
+
 def test_update_deformation_rotated_camera():
     """Correspondences and flow application stay correct for a camera
     with a non-identity rotation (the reference only ever runs identity;

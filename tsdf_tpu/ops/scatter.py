@@ -281,3 +281,123 @@ def _take_flat_bwd(res, g):
 
 
 take_flat.defvjp(_take_flat_fwd, _take_flat_bwd)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("window", "rows_per_patch", "fill_mode"),
+)
+def gather_flat(
+    table: jnp.ndarray,
+    lin: jnp.ndarray,
+    window: int = 2048,
+    rows_per_patch: int = 256,
+    fill_mode: str = "clip",
+) -> jnp.ndarray:
+    """out[c] = table[lin[c]] — the gather DUAL of ``scatter_add_flat``.
+
+    XLA:TPU lowers a generic gather from an arbitrary index stream to a
+    serial loop with pathological COMPILE times (the SceneFusion slot
+    correspondence's 64k-block ``jnp.take`` walk alone compiled for
+    >15 minutes — the dominant share of the fused step's ~30-minute
+    compile) and ~0.11 G lookups/s at runtime. Same cure as the
+    scatter: sort the stream, walk it with a static window, and turn
+    each window into MXU work —
+
+      1. sort (lin, arange) so each window of K indices spans a small
+         contiguous row range of the flat table;
+      2. per window: dynamic_slice an (RP, 128[, D]) patch, build the
+         (K, RP) row one-hot, one matmul -> (K, 128[, D]) rows, then a
+         lane one-hot select reduces to the K gathered values;
+      3. un-sort with a second lax.sort keyed by the permutation.
+
+    Everything static-shaped; the while-loop trip count is ~C/K for
+    surface-like streams. Exactness never depends on the tuning values
+    (a window spanning more than RP rows consumes a prefix and the
+    cursor advances).
+
+    Args:
+      table: (n,) or (n, D) f32 source values.
+      lin: (C,) int32 indices. fill_mode="clip": out-of-range indices
+        clamp to the ends (``jnp.take`` mode="clip"); "zero": they
+        return 0.0.
+      window / rows_per_patch: static tuning (see scatter_add_flat).
+
+    Returns:
+      (C,) or (C, D) f32 gathered values, in the ORIGINAL stream order.
+    """
+    if fill_mode not in ("clip", "zero"):
+        raise ValueError(f"fill_mode must be clip|zero, got {fill_mode!r}")
+    squeeze = table.ndim == 1
+    tab = table[:, None] if squeeze else table
+    n, D = tab.shape
+    (C,) = lin.shape
+    K = int(window)
+    RP = int(rows_per_patch)
+    nr = max(_round_up(n, _LANE) // _LANE, RP)
+
+    lin = jnp.asarray(lin, jnp.int32)
+    oob = (lin < 0) | (lin >= n)
+    lin_c = jnp.clip(lin, 0, n - 1)
+    if fill_mode == "zero":
+        # zero-filled indices become the walk's terminating sentinel:
+        # they sort to the end of the stream, the cursor never reaches
+        # them, and their output rows keep the zero initialization —
+        # a stream that is mostly dead slots costs only its live prefix.
+        lin_c = jnp.where(oob, nr * _LANE, lin_c)
+
+    perm = jnp.arange(C, dtype=jnp.int32)
+    lin_s, perm_s = jax.lax.sort([lin_c, perm], num_keys=1)
+
+    # pad the index stream with an n-row sentinel the walk terminates on
+    lin_p = jnp.concatenate([lin_s, jnp.full((K,), nr * _LANE, jnp.int32)])
+    tab_p = jnp.pad(
+        jnp.asarray(tab, jnp.float32), ((0, nr * _LANE - n), (0, 0))
+    ).reshape(nr, _LANE, D)
+
+    out = jnp.zeros((C + K, D), jnp.float32)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (K, RP), 1)
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (K, _LANE), 1)
+
+    def cond(state):
+        c, _ = state
+        return (c < C) & (
+            jax.lax.dynamic_slice(lin_p, (c,), (1,))[0] < nr * _LANE
+        )
+
+    def body(state):
+        c, out = state
+        lw = jax.lax.dynamic_slice(lin_p, (c,), (K,))
+        rows = lw >> 7
+        lanes = lw & (_LANE - 1)
+        r0 = jnp.minimum(rows[0], nr - RP)
+        local = rows - r0
+        in_patch = local < RP  # sorted => a prefix of the window
+        count = jnp.maximum(jnp.sum(in_patch.astype(jnp.int32)), 1)
+        m = ((local[:, None] == r_iota) & in_patch[:, None]).astype(
+            jnp.float32
+        )  # (K, RP)
+        patch = jax.lax.dynamic_slice(
+            tab_p, (r0, 0, 0), (RP, _LANE, D)
+        ).reshape(RP, _LANE * D)
+        t = jax.lax.dot_general(
+            m, patch, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(K, _LANE, D)
+        lane_oh = (lanes[:, None] == l_iota).astype(jnp.float32)
+        g = jnp.sum(t * lane_oh[:, :, None], axis=1)  # (K, D)
+        out = jax.lax.dynamic_update_slice(out, g, (c, 0))
+        return c + count, out
+
+    _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), out))
+    out = out[:C]
+
+    # un-sort: a second key-sort by the permutation restores stream
+    # order without a scatter
+    _, *gs = jax.lax.sort(
+        [perm_s] + [out[:, d] for d in range(D)], num_keys=1
+    )
+    out = jnp.stack(gs, axis=-1)
+    if fill_mode == "zero":
+        out = jnp.where(oob[:, None], 0.0, out)
+    return out[:, 0] if squeeze else out

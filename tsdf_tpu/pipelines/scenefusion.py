@@ -108,9 +108,16 @@ def _slot_correspondence(
     # one fused image gather: [depth, flow] as 4 channels per pixel.
     # The slot buffer is a static cap (max_cubes * 24 slots, ~6.3M at
     # the 255^3 default) but live cubes are a compacted prefix, so the
-    # gather walks 64k-slot blocks and stops at the last live slot —
-    # cost tracks the actual surface, not the cap (XLA:TPU gathers are
-    # ~0.11 G lookups/s; the cap alone would be ~50 ms/frame).
+    # walk covers 64k-slot blocks and stops at the last live slot —
+    # cost tracks the actual surface, not the cap. Each block goes
+    # through gather_flat (the sorted-window matmul gather,
+    # ops/scatter.py) instead of jnp.take: the XLA:TPU gather lowering
+    # of a 64k-element stream alone took >15 minutes to COMPILE (the
+    # dominant share of the fused SceneFusion step's ~30-minute
+    # compile) and ran at ~0.11 G lookups/s. Per-block sorting keeps
+    # the sort cost at 64k elements (whole-stream sorting of the 6.3M
+    # cap would cost more than the gather it replaces); dead slots map
+    # to an off-the-end sentinel that gather_flat zero-fills.
     img = jnp.concatenate(
         [
             depth.reshape(-1, 1),
@@ -119,15 +126,21 @@ def _slot_correspondence(
         axis=-1,
     )
     N = lin.shape[0]
-    n_live = jnp.max(
-        jnp.where(slot_valid, jnp.arange(N, dtype=jnp.int32) + 1, 0)
-    )
-    BLK = 1 << 16
-    if N <= BLK:
+    if N <= (1 << 16):
         g = jnp.take(img, lin, axis=0, mode="clip")  # (N, 4)
     else:
+        from ..ops.scatter import gather_flat
+
+        n_live = jnp.max(
+            jnp.where(slot_valid, jnp.arange(N, dtype=jnp.int32) + 1, 0)
+        )
+        BLK = 1 << 16
         nb = -(-N // BLK)
-        linp = jnp.pad(lin, (0, nb * BLK - N))
+        linp = jnp.pad(
+            jnp.where(slot_valid, lin, img.shape[0]),
+            (0, nb * BLK - N),
+            constant_values=img.shape[0],
+        )
 
         def cond(st):
             b, _ = st
@@ -136,7 +149,7 @@ def _slot_correspondence(
         def body(st):
             b, out = st
             lw = jax.lax.dynamic_slice(linp, (b * BLK,), (BLK,))
-            gb = jnp.take(img, lw, axis=0, mode="clip")
+            gb = gather_flat(img, lw, fill_mode="zero")
             return b + 1, jax.lax.dynamic_update_slice(
                 out, gb, (b * BLK, 0)
             )
