@@ -117,6 +117,24 @@ def test_scatter_add_compiled():
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-4)
 
 
+def test_gather_flat_compiled():
+    """Sorted-window matmul gather on the chip == numpy indexing,
+    incl. out-of-range zero fill and original stream order."""
+    from tsdf_tpu.ops.scatter import gather_flat
+
+    n, d, c = 307200, 4, 1 << 17
+    rng = np.random.RandomState(2)
+    tab = rng.randn(n, d).astype(np.float32)
+    lin = rng.randint(-9, n + 9, size=c).astype(np.int32)
+    out = np.asarray(
+        gather_flat(jnp.asarray(tab), jnp.asarray(lin), fill_mode="zero")
+    )
+    ref = np.where(
+        ((lin < 0) | (lin >= n))[:, None], 0.0, tab[np.clip(lin, 0, n - 1)]
+    )
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_extract_surface_on_device_matches_cpu():
     """On-device MC (sort compaction + lane-gather tables + matmul
     scatter) == the host-CPU XLA path, on a real chip."""

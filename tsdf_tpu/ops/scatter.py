@@ -45,6 +45,8 @@ import jax.numpy as jnp
 import numpy as np
 
 _LANE = 128
+# fold taps whose row offsets lie within this many rows share one patch
+_FOLD_SPAN = 8
 
 
 def _round_up(v: int, m: int) -> int:
@@ -63,7 +65,7 @@ def scatter_add_flat(
     val: jnp.ndarray,
     window: int = 2048,
     rows_per_patch: int = 256,
-    is_sorted: bool = False,
+    is_sorted: bool | str = False,
     fold_offsets: tuple[int, ...] | None = None,
 ) -> jnp.ndarray:
     """out = zeros(n); out[lin[c]] += val[..., c] for every c; returns out.
@@ -78,18 +80,34 @@ def scatter_add_flat(
       rows_per_patch: dense rows materialised per step (static). Windows
         spanning more rows than this consume a prefix and the cursor
         advances — exactness never depends on the tuning values.
-      is_sorted: skip the sort when lin is already non-decreasing
-        (cumsum-offset writes; required property is asserted nowhere —
-        callers own it).
+      is_sorted: False = sort here. True = HINT that lin is already
+        non-decreasing: an O(C) monotonicity check falls back to the
+        sort when the hint is wrong (leading/interspersed out-of-range
+        sentinels break monotonicity after the tail remap). "trusted" =
+        skip even the check: the caller GUARANTEES ascending in-range
+        entries with out-of-range entries only as a suffix — anything
+        after the first violation would be silently dropped. Use only
+        where the stream is ascending by construction (the cube-corner
+        update's compaction ids): the checked variant's lax.cond
+        carries a (1+D)-operand sort branch whose XLA:TPU compile is
+        pathological at volume scale.
       fold_offsets: G static non-negative index offsets. val must then
         be (G*Dout, C) and the result is (Dout, n) with
         ``out[:, lin[c] + fold_offsets[g]] += val[g*Dout:(g+1)*Dout, c]``
-        — G offset stencil taps sharing one window walk and ONE matmul
-        per window, folded into a Dout-channel accumulator by a static
-        roll of each tap's patch (the SceneFusion cube-corner update:
-        8 corners x 4 channels fold into 4, cutting the accumulator
-        from 32 to 4 dense channels; entries whose lin+offset lands
-        outside [0, n) are dropped).
+        — G offset stencil taps sharing one window walk, folded into a
+        Dout-channel accumulator INSIDE the window matmuls: each tap's
+        one-hot row mask is built directly at its shifted target
+        (lin+off), taps are grouped by row reach (off >> 7), and each
+        group lands as one (T*K, RPP) x (T*K, Dout*128) matmul + one
+        patch update (the SceneFusion cube-corner update: 8 corners x 4
+        channels fold into 4, cutting the accumulator from 32 to 4
+        dense channels; entries whose lin+offset lands outside [0, n)
+        are dropped). An earlier formulation that scattered at the base
+        index and value-shifted each tap's patch by static lane pads +
+        8 shifted slice/update pairs compiled for 34 MINUTES at 255^3
+        on XLA:TPU; this in-matmul fold keeps the loop body the same
+        shape as the no-fold path (compare + matmul + one slice/update
+        per group).
 
     Returns:
       (n,) f32 or (D, n) f32 ((Dout, n) under ``fold_offsets``).
@@ -103,6 +121,18 @@ def scatter_add_flat(
         assert D % G == 0, (D, G)
         assert all(o >= 0 for o in fold_offsets), fold_offsets
         Dout = D // G
+        # static grouping: taps whose row offsets (off >> 7) lie within
+        # _FOLD_SPAN rows share one patch (one matmul + one update); a
+        # 2x2x2 voxel stencil groups into its two z-planes
+        order = sorted(range(G), key=lambda g: fold_offsets[g] >> 7)
+        groups: list[list] = []  # [q0, span, [tap indices]]
+        for g in order:
+            q = fold_offsets[g] >> 7
+            if groups and q - groups[-1][0] <= _FOLD_SPAN:
+                groups[-1][1] = q - groups[-1][0]
+                groups[-1][2].append(g)
+            else:
+                groups.append([q, 0, [g]])
     else:
         G, Dout = 1, D
 
@@ -125,9 +155,11 @@ def scatter_add_flat(
     # matches a patch row
     lin = jnp.where((lin < 0) | (lin >= n), nr * _LANE, lin)
 
-    if not is_sorted:
+    if is_sorted is False:
         lin, *vs = jax.lax.sort([lin] + list(vals), num_keys=1)
         vals = jnp.stack(vs)
+    elif is_sorted == "trusted":
+        pass  # caller guarantees monotone + suffix-only sentinels
     elif C > 1:
         # ``is_sorted`` is a HINT, not a trusted contract: out-of-range
         # entries remap to the tail sentinel above, which breaks
@@ -158,6 +190,13 @@ def scatter_add_flat(
     out = jnp.zeros((nrp, Dout, _LANE), jnp.float32)
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (K, RP), 1)
     l_iota = jax.lax.broadcasted_iota(jnp.int32, (K, _LANE), 1)
+    if fold_offsets is not None:
+        g_iota = {
+            span: jax.lax.broadcasted_iota(
+                jnp.int32, (K, RP + span + 2), 1
+            )
+            for span in {g[1] for g in groups}
+        }
 
     def cond(state):
         c, _ = state
@@ -168,49 +207,69 @@ def scatter_add_flat(
         c, out = state
         lw = jax.lax.dynamic_slice(lin, (c,), (K,))
         rows = lw >> 7
-        lanes = lw & (_LANE - 1)
         r0 = jnp.minimum(rows[0], nr - RP)
         local = rows - r0
         in_patch = local < RP  # sorted => a prefix of the window
         count = jnp.sum(in_patch.astype(jnp.int32))
-        m = ((local[:, None] == r_iota) & in_patch[:, None]).astype(
-            jnp.float32
-        )  # (K, RP)
-        lane_oh = (lanes[:, None] == l_iota).astype(jnp.float32)  # (K, 128)
         vw = jax.lax.dynamic_slice(vals, (0, c), (D, K))  # (D, K)
-        v_blk = (vw.T[:, :, None] * lane_oh[:, None, :]).reshape(
-            K, D * _LANE
-        )
-        patch = jax.lax.dot_general(
-            m,
-            v_blk,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(RP, D, _LANE)
         if fold_offsets is None:
+            lanes = lw & (_LANE - 1)
+            m = ((local[:, None] == r_iota) & in_patch[:, None]).astype(
+                jnp.float32
+            )  # (K, RP)
+            lane_oh = (lanes[:, None] == l_iota).astype(
+                jnp.float32
+            )  # (K, 128)
+            v_blk = (vw.T[:, :, None] * lane_oh[:, None, :]).reshape(
+                K, D * _LANE
+            )
+            patch = jax.lax.dot_general(
+                m,
+                v_blk,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(RP, D, _LANE)
             blk = jax.lax.dynamic_slice(out, (r0, 0, 0), (RP, D, _LANE))
             out = jax.lax.dynamic_update_slice(
                 out, blk + patch, (r0, 0, 0)
             )
             return c + count, out
-        # fold the G taps: tap g's (RP, Dout, 128) slice is the patch
-        # built at lin, destined for lin + off — a STATIC shift of
-        # off = q*128 + s in the flat row-major (row, lane) layout:
-        # left-pad s lanes / right-pad 128-s, which re-rows the block to
-        # RP+1 rows at row offset q (pure static pads, no extra matmul)
-        pg = patch.reshape(RP, G, Dout, _LANE).transpose(1, 2, 0, 3)
-        for g, off in enumerate(fold_offsets):
-            q, s = off >> 7, off & (_LANE - 1)
-            a = pg[g].reshape(Dout, RP * _LANE)
-            a = jnp.pad(a, ((0, 0), (s, _LANE - s))).reshape(
-                Dout, RP + 1, _LANE
-            )
-            a = a.transpose(1, 0, 2)  # (RP+1, Dout, 128)
+        # in-matmul fold: each tap's one-hot row mask targets lin+off
+        # directly; one (T*K, RPP) x (T*K, Dout*128) matmul and ONE
+        # slice/update per row-reach group. Taps whose target crosses
+        # past n land in the accumulator's pad rows and are trimmed
+        # (windows are in-range here: the cursor stops at the sentinel
+        # tail, and in_patch masks the window's own tail).
+        for q0, span, taps in groups:
+            RPP = RP + span + 2
+            ms, vb = [], []
+            for g in taps:
+                t = lw + fold_offsets[g]
+                loc_g = (t >> 7) - (r0 + q0)
+                m_g = (
+                    (loc_g[:, None] == g_iota[span])
+                    & in_patch[:, None]
+                ).astype(jnp.float32)  # (K, RPP)
+                lane_g = ((t & (_LANE - 1))[:, None] == l_iota).astype(
+                    jnp.float32
+                )  # (K, 128)
+                v_g = (
+                    vw[g * Dout : (g + 1) * Dout].T[:, :, None]
+                    * lane_g[:, None, :]
+                ).reshape(K, Dout * _LANE)
+                ms.append(m_g)
+                vb.append(v_g)
+            patch = jax.lax.dot_general(
+                jnp.concatenate(ms, axis=0),
+                jnp.concatenate(vb, axis=0),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(RPP, Dout, _LANE)
             blk = jax.lax.dynamic_slice(
-                out, (r0 + q, 0, 0), (RP + 1, Dout, _LANE)
+                out, (r0 + q0, 0, 0), (RPP, Dout, _LANE)
             )
             out = jax.lax.dynamic_update_slice(
-                out, blk + a, (r0 + q, 0, 0)
+                out, blk + patch, (r0 + q0, 0, 0)
             )
         return c + count, out
 

@@ -307,11 +307,16 @@ def _cube_corner_scatter(
     # into a D-channel accumulator via the static corner offsets (a
     # dense 8*D-channel accumulator would be 8x the bytes — ~2 GB at
     # 255^3 and an OOM at 512^3)
+    # "trusted": cid is ascending by construction (compaction emits
+    # sorted ids) and cube_valid is a prefix, so the sentinel remap
+    # keeps the stream monotone — skipping the checked hint's lax.cond
+    # sort branch, whose XLA:TPU compile is pathological at volume
+    # scale (a (1+32)-operand sort under a cond).
     return scatter_add_flat(
         n_vox,
         lin0,
         jnp.concatenate(payload, axis=0),
-        is_sorted=True,
+        is_sorted="trusted",
         fold_offsets=tuple(offs),
     )  # (D, n_vox)
 
