@@ -405,12 +405,15 @@ def _tracked_step_pallas(
     verts, _ = raycast_pallas(
         vol, camera, config.width, config.height, interpret=interpret
     )
-    cam_pts = camera.world_to_camera(
-        jnp.where(jnp.isfinite(verts), verts, 0.0).reshape(-1, 3)
-    ).reshape(config.height, config.width, 3)
-    model_depth = jnp.where(
-        jnp.isfinite(verts).all(-1), cam_pts[..., 2], 0.0
-    )
+    # camera-space z as (H, W) planes: a (N, 3) point-list matmul tiles
+    # as 3-of-128 lanes on TPU (42x vreg waste); only row 2 of pose_inv
+    # is needed anyway
+    pi = camera.pose_inv
+    wx = jnp.where(jnp.isfinite(verts[..., 0]), verts[..., 0], 0.0)
+    wy = jnp.where(jnp.isfinite(verts[..., 1]), verts[..., 1], 0.0)
+    wz = jnp.where(jnp.isfinite(verts[..., 2]), verts[..., 2], 0.0)
+    camz = pi[2, 0] * wx + pi[2, 1] * wy + pi[2, 2] * wz + pi[2, 3]
+    model_depth = jnp.where(jnp.isfinite(verts).all(-1), camz, 0.0)
 
     res = get_incremental_transformation(
         depth_icp, model_depth, fx, fy, cx, cy, band=band,

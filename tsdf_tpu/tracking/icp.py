@@ -251,18 +251,29 @@ def icp_step_banded(
 
     h, w = depth_prev.shape
     hc, wc = vmap_curr.shape[0], vmap_curr.shape[1]
-    v_curr = vmap_curr.reshape(-1, 3)
-    n_curr = nmap_curr.reshape(-1, 3)
 
-    v_in_prev = v_curr @ rot.T + trans
-    n_in_prev = n_curr @ rot.T
+    # Planar (H, W) layout throughout: a (N, 3) point list tiles on TPU
+    # as 3 lanes padded to 128 (a 42x vreg/HBM waste on every
+    # materialized intermediate), and the (N, 6) residual-row matrix the
+    # old formulation fed to rows.T @ rows materializes ~157 MB at
+    # 640x480. Image-shaped planes tile perfectly; the normal-equation
+    # reduction becomes one (8, N) Gram matmul at the end.
+    vcx, vcy, vcz = (vmap_curr[..., i] for i in range(3))
+    ncx, ncy, ncz = (nmap_curr[..., i] for i in range(3))
 
-    pxf = v_in_prev[:, 0] * fx / v_in_prev[:, 2] + cx
-    pyf = v_in_prev[:, 1] * fy / v_in_prev[:, 2] + cy
+    vix = rot[0, 0] * vcx + rot[0, 1] * vcy + rot[0, 2] * vcz + trans[0]
+    viy = rot[1, 0] * vcx + rot[1, 1] * vcy + rot[1, 2] * vcz + trans[1]
+    viz = rot[2, 0] * vcx + rot[2, 1] * vcy + rot[2, 2] * vcz + trans[2]
+    nix = rot[0, 0] * ncx + rot[0, 1] * ncy + rot[0, 2] * ncz
+    niy = rot[1, 0] * ncx + rot[1, 1] * ncy + rot[1, 2] * ncz
+    niz = rot[2, 0] * ncx + rot[2, 1] * ncy + rot[2, 2] * ncz
+
+    pxf = vix * fx / viz + cx
+    pyf = viy * fy / viz + cy
     pxf = jnp.where(jnp.isfinite(pxf), pxf, -1.0)
     pyf = jnp.where(jnp.isfinite(pyf), pyf, -1.0)
-    px = jnp.round(jnp.clip(pxf, -1e6, 1e6)).astype(jnp.int32).reshape(hc, wc)
-    py = jnp.round(jnp.clip(pyf, -1e6, 1e6)).astype(jnp.int32).reshape(hc, wc)
+    px = jnp.round(jnp.clip(pxf, -1e6, 1e6)).astype(jnp.int32)
+    py = jnp.round(jnp.clip(pyf, -1e6, 1e6)).astype(jnp.int32)
 
     in_img = (
         (px >= 0) & (px < w - 1) & (py >= 0) & (py < h - 1)
@@ -294,8 +305,14 @@ def icp_step_banded(
         window = jax.lax.dynamic_slice_in_dim(
             rolled, jnp.asarray(row_offset, jnp.int32), hc, axis=0
         )
-        c0 = lane_gather_any(window, px_s)
-        c1 = lane_gather_any(window, jnp.minimum(px_s + 1, w - 1))
+        # one gather call for both columns: the table is swept over its
+        # lane blocks once instead of twice per pass
+        c01 = lane_gather_any(
+            window,
+            jnp.concatenate([px_s, jnp.minimum(px_s + 1, w - 1)], axis=1),
+        )
+        c0 = c01[:, :wc]
+        c1 = c01[:, wc:]
         d00 = jnp.where(dy == k, c0, d00)
         d10 = jnp.where(dy == k, c1, d10)
         d01 = jnp.where(dy == k - 1, c0, d01)
@@ -311,55 +328,75 @@ def icp_step_banded(
         for k in range(-band, band + 2):
             d00, d10, d01 = roll_pass(k, (d00, d10, d01))
 
-    # reconstruct v_prev / n_prev from depths (vertex_map/normal_map math)
+    # reconstruct v_prev / n_prev from depths (vertex_map/normal_map
+    # math), all as (H, W) planes
     pxf2 = px.astype(jnp.float32)
     pyf2 = py.astype(jnp.float32)
 
-    def backproj(d, a, b):
-        return jnp.stack(
-            [d * (a - cx) / fx, d * (b - cy) / fy, d], axis=-1
-        )
-
-    v00 = backproj(d00, pxf2, pyf2)
-    v10 = backproj(d10, pxf2 + 1.0, pyf2)
-    v01 = backproj(d01, pxf2, pyf2 + 1.0)
-    nrm = jnp.cross(v10 - v00, v01 - v00)
-    nn = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
-    nrm = nrm / jnp.where(nn == 0, 1.0, nn)
+    v00x = d00 * (pxf2 - cx) / fx
+    v00y = d00 * (pyf2 - cy) / fy
+    ax = d10 * (pxf2 + 1.0 - cx) / fx - v00x
+    ay = d10 * (pyf2 - cy) / fy - v00y
+    az = d10 - d00
+    bx = d01 * (pxf2 - cx) / fx - v00x
+    by = d01 * (pyf2 + 1.0 - cy) / fy - v00y
+    bz = d01 - d00
+    crx = ay * bz - az * by
+    cry = az * bx - ax * bz
+    crz = ax * by - ay * bx
+    nn = jnp.sqrt(crx * crx + cry * cry + crz * crz)
+    nn = jnp.where(nn == 0, 1.0, nn)
+    npx = crx / nn
+    npy = cry / nn
+    npz = crz / nn
 
     dvalid = (
         (d00 > 0) & (d00 < cutoff)
         & (d10 > 0) & (d10 < cutoff)
         & (d01 > 0) & (d01 < cutoff)
     )
-    v_prev = v00.reshape(-1, 3)
-    n_prev = nrm.reshape(-1, 3)
-    ok = (found & dvalid).reshape(-1)
 
-    diff = v_prev - v_in_prev
-    dist_ok = jnp.linalg.norm(diff, axis=-1) < dist_thresh
-    angle_ok = (
-        jnp.linalg.norm(jnp.cross(n_in_prev, n_prev), axis=-1) < angle_thresh
-    )
-    finite = jnp.isfinite(v_curr[:, 2]) & jnp.isfinite(n_curr[:, 0])
+    dx = v00x - vix
+    dyy = v00y - viy
+    dz = d00 - viz
+    dist_ok = jnp.sqrt(dx * dx + dyy * dyy + dz * dz) < dist_thresh
+    # |cross(n_in_prev, n_prev)| gate
+    gx = niy * npz - niz * npy
+    gy = niz * npx - nix * npz
+    gz = nix * npy - niy * npx
+    angle_ok = jnp.sqrt(gx * gx + gy * gy + gz * gz) < angle_thresh
+    finite = jnp.isfinite(vcz) & jnp.isfinite(ncx)
     # behind-camera gates, as icp_step's in_img mask: a point behind
     # the previous camera mirror-projects into the image and can
     # otherwise form a bogus correspondence at coarse levels with a
     # large interim pose error
-    front = (v_curr[:, 2] > 0) & (v_in_prev[:, 2] > 0)
-    mask = ok & dist_ok & angle_ok & finite & front
+    front = (vcz > 0) & (viz > 0)
+    mask = found & dvalid & dist_ok & angle_ok & finite & front
 
-    n_prev_s = jnp.where(mask[:, None], n_prev, 0.0)
-    v_ip_s = jnp.where(mask[:, None], v_in_prev, 0.0)
-    r = jnp.where(mask, jnp.sum(n_prev * diff, axis=-1), 0.0)
-    r = jnp.where(jnp.isfinite(r), r, 0.0)
-    rows = jnp.concatenate(
-        [n_prev_s, jnp.cross(v_ip_s, n_prev_s)], axis=-1
+    def msk(p):
+        p = jnp.where(mask, p, 0.0)
+        return jnp.where(jnp.isfinite(p), p, 0.0)
+
+    # residual-row planes: [n_prev | v_in_prev x n_prev] and the
+    # point-to-plane residual r = n_prev . (v_prev - v_in_prev)
+    r0 = msk(npx)
+    r1 = msk(npy)
+    r2 = msk(npz)
+    r3 = msk(viy * npz - viz * npy)
+    r4 = msk(viz * npx - vix * npz)
+    r5 = msk(vix * npy - viy * npx)
+    r = msk(npx * dx + npy * dyy + npz * dz)
+    m = mask.astype(jnp.float32)
+
+    # normal equations as ONE (8, N) Gram matmul: A = G[:6,:6],
+    # b = G[:6,6], sum r^2 = G[6,6], inliers = G[7,7] (mask is 0/1 so
+    # sum m^2 == sum m, exact in f32 at image sizes)
+    R = jnp.stack([r0, r1, r2, r3, r4, r5, r, m]).reshape(8, -1)
+    G = jax.lax.dot_general(
+        R, R, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
     )
-    rows = jnp.where(jnp.isfinite(rows), rows, 0.0)
-    A = rows.T @ rows
-    b = rows.T @ r
-    return A, b, jnp.sum(r * r), jnp.sum(mask.astype(jnp.float32))
+    return G[0:6, 0:6], G[0:6, 6], G[6, 6], G[7, 7]
 
 
 def run_level(step_fn, n_iters: int, eps, pose, err, inl):
