@@ -243,3 +243,43 @@ def test_deform_volume_rejected_by_pallas_tracked_loop():
         track_and_fuse_frames(
             vol, cams[0], [np.zeros((H, W), np.float32)], cfg
         )
+
+
+def test_tracked_chunked_scan_matches_per_frame():
+    """The chunked tracked-fusion scan (_tracked_chunk_pallas, one
+    dispatch per track_chunk frames, zero-depth tail padding) == the
+    per-frame dispatch path: same fused volume, same poses, same stats.
+    The 4-frame sequence with track_chunk=2 exercises a full chunk AND
+    a padded tail (3 tracked frames -> chunk of 2 + chunk of 1+1 pad)."""
+    import dataclasses
+
+    scene = _gt_scene()
+    cams = _trajectory(4)
+    frames = [
+        render_to_depth_image(scene, c, width=W, height=H) for c in cams
+    ]
+    vol = make_volume((64, 64, 64), 2000.0, offset=(-1000.0, -1000.0, 0.0))
+    cfg = FusionConfig(width=W, height=H, use_pallas=True)
+    v_c, cam_c, poses_c, stats_c = track_and_fuse_frames(
+        vol, cams[0], frames, dataclasses.replace(cfg, track_chunk=2)
+    )
+    v_p, cam_p, poses_p, stats_p = track_and_fuse_frames(
+        vol, cams[0], frames, dataclasses.replace(cfg, track_chunk=1)
+    )
+    assert len(poses_c) == len(poses_p) == 4
+    np.testing.assert_array_equal(
+        np.asarray(v_c.weight), np.asarray(v_p.weight)
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_c.tsdf), np.asarray(v_p.tsdf), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(cam_c.pose), np.asarray(cam_p.pose), atol=1e-5
+    )
+    for pc, pp in zip(poses_c, poses_p):
+        np.testing.assert_allclose(
+            np.asarray(pc), np.asarray(pp), atol=1e-5
+        )
+    for (ec, ic), (ep, ip) in zip(stats_c, stats_p):
+        np.testing.assert_allclose(float(ec), float(ep), atol=1e-3)
+        assert float(ic) == float(ip)

@@ -68,6 +68,17 @@ class FusionConfig:
     # per-frame dispatches were measured at 30 ms/frame for a 3.7 ms
     # integrate (config-2 probe); a 16-frame scan is one dispatch.
     fuse_chunk: int = 16
+    # Tracked fusion: scan this many tracked frames per dispatch
+    # (use_pallas only; 1 = one dispatch per frame). Chunk tails are
+    # padded with zero-depth frames, which the lost-tracking gate makes
+    # exact no-ops; per-frame stats are still returned per frame.
+    # Default 1: through the remote tunnel the per-frame dispatches
+    # already pipeline (30.6 ms/frame vs 37.4 for an 11-frame scan,
+    # tools/probe_tracked_chunk.py) — the scan carries a measurable
+    # while-loop overhead at 256^3 and buys nothing unless dispatch
+    # latency is the bottleneck (it is not here; it may be on a
+    # many-host setup where the host enqueue thread saturates).
+    track_chunk: int = 1
 
     def make_volume(self) -> TSDFVolume:
         return make_volume(
@@ -293,6 +304,73 @@ def track_and_fuse_frames(
     poses = []
     stats = []
     miss_log: list = []
+
+    if config.use_pallas and config.track_chunk > 1:
+        # chunked device-side scan (_tracked_chunk_pallas): one dispatch
+        # per track_chunk frames instead of per frame; at most one chunk
+        # of frames is host-resident (streaming preserved)
+        band = config.icp_band if config.icp_band > 0 else None
+        buf_d: list = []
+        buf_r: list = []
+        has_rgb: bool | None = None
+
+        def flush():
+            nonlocal vol, camera
+            if not buf_d:
+                return
+            n_real = len(buf_d)
+            # pad the tail to the full chunk with zero-depth frames
+            # (exact no-ops under the lost-tracking gate) so only ONE
+            # scan shape ever compiles
+            while len(buf_d) < config.track_chunk:
+                buf_d.append(jnp.zeros_like(buf_d[0]))
+                if has_rgb:
+                    buf_r.append(jnp.zeros_like(buf_r[0]))
+            depths = jnp.stack(buf_d)
+            rgbs = jnp.stack(buf_r) if has_rgb else None
+            vol, camera, cposes, errs, inls, misses = (
+                _tracked_chunk_pallas(
+                    vol, camera, depths, rgbs, config=config, band=band
+                )
+            )
+            for i in range(n_real):
+                poses.append(cposes[i])
+                stats.append((errs[i], inls[i]))
+                miss_log.append(misses[i])
+            buf_d.clear()
+            buf_r.clear()
+
+        first = True
+        for frame in frames:
+            if isinstance(frame, tuple):
+                depth, rgb = frame
+                rgb = None if rgb is None else jnp.asarray(rgb)
+            else:
+                depth, rgb = frame, None
+            depth = jnp.asarray(depth, jnp.float32)
+            if first:
+                stats.append((jnp.array(0.0), jnp.array(0.0)))
+                first = False
+                vol = _integrate(
+                    vol, depth, camera, config, miss_log, rgb=rgb
+                )
+                poses.append(camera.pose)
+                has_rgb = rgb is not None
+                continue
+            if (rgb is not None) != has_rgb:
+                raise ValueError(
+                    "track_and_fuse_frames(track_chunk>1) needs a "
+                    "consistent rgb presence across frames"
+                )
+            buf_d.append(depth)
+            if has_rgb:
+                buf_r.append(rgb)
+            if len(buf_d) == config.track_chunk:
+                flush()
+        flush()
+        _check_misses(miss_log, config)
+        return vol, camera, poses, stats
+
     first = True
     for frame in frames:
         if isinstance(frame, tuple):
@@ -349,22 +427,21 @@ def track_and_fuse_frames(
     return vol, camera, poses, stats
 
 
-@partial(
-    jax.jit,
-    static_argnames=("config", "band"),
-)
-def _tracked_step_pallas(
+def _tracked_step_body(
     vol: TSDFVolume,
     camera: Camera,
     depth: jnp.ndarray,
-    rgb: jnp.ndarray | None = None,
-    *,
+    rgb: jnp.ndarray | None,
     config: FusionConfig,
     band: int | None,
 ):
     """One fused tracked-fusion frame (Pallas path): bilateral ->
     model render -> ICP (banded, with on-device exact fallback) ->
-    pose update -> integrate, all in one jit.
+    pose update -> integrate. Traced either as its own jit
+    (_tracked_step_pallas, one dispatch per frame) or as the body of
+    the chunked scan (_tracked_chunk_pallas, one dispatch per chunk —
+    per-frame dispatch latency through the remote tunnel is ~2x the
+    frame's actual compute, the same economics as _fuse_chunk_pallas).
 
     The banded lookup drops correspondences displaced vertically by
     more than ``band`` pixels (fast motion; r1 verdict weak 5). If its
@@ -374,7 +451,9 @@ def _tracked_step_pallas(
     host read serializes the async dispatch pipeline and was measured
     at +27 ms/frame through the remote tunnel). The integrate is then
     gated on the final inlier count: a frame whose tracking is lost
-    even under exact association is not fused.
+    even under exact association is not fused. A zero depth frame is
+    an exact no-op under these gates (0 inliers -> lost -> identity
+    pose, no fusion), which is what makes chunk tail-padding safe.
     """
     from ..kernels.integrate import integrate_pallas
     from ..kernels.raycast import raycast_pallas
@@ -471,3 +550,65 @@ def _tracked_step_pallas(
         vol,
     )
     return vol, camera, err, inl, miss
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "band"),
+)
+def _tracked_step_pallas(
+    vol: TSDFVolume,
+    camera: Camera,
+    depth: jnp.ndarray,
+    rgb: jnp.ndarray | None = None,
+    *,
+    config: FusionConfig,
+    band: int | None,
+):
+    """One tracked frame as its own dispatch (see _tracked_step_body)."""
+    return _tracked_step_body(vol, camera, depth, rgb, config, band)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "band"),
+)
+def _tracked_chunk_pallas(
+    vol: TSDFVolume,
+    camera: Camera,
+    depths: jnp.ndarray,  # (K, H, W) f32 mm; zero frames = tail padding
+    rgbs: jnp.ndarray | None = None,  # (K, H, W, 3) u8 or None
+    *,
+    config: FusionConfig,
+    band: int | None,
+):
+    """Scan a chunk of tracked frames in ONE dispatch.
+
+    The per-frame tracked loop costs one host->device dispatch per
+    frame; through the remote tunnel that latency (~20 ms) is ~2x the
+    frame's actual compute (~11 ms at 256^3 — tools/
+    probe_tracked_parts.py). The scan runs the whole chunk device-side:
+    same economics as _fuse_chunk_pallas, same single compiled shape
+    (tails are padded with zero-depth frames, which the lost-tracking
+    gate makes an exact no-op — no pose update, no fusion, zero miss).
+
+    Returns (vol, camera, poses (K,4,4) camera->world after each frame,
+    errs (K,), inls (K,), misses (K,)).
+    """
+
+    def body(carry, inp):
+        vol, camera = carry
+        if rgbs is None:
+            depth, rgb = inp, None
+        else:
+            depth, rgb = inp
+        vol, camera, err, inl, miss = _tracked_step_body(
+            vol, camera, depth, rgb, config, band
+        )
+        return (vol, camera), (camera.pose, err, inl, miss)
+
+    xs = depths if rgbs is None else (depths, rgbs)
+    (vol, camera), (poses, errs, inls, misses) = jax.lax.scan(
+        body, (vol, camera), xs
+    )
+    return vol, camera, poses, errs, inls, misses
