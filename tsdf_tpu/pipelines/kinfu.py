@@ -73,11 +73,11 @@ class FusionConfig:
     # padded with zero-depth frames, which the lost-tracking gate makes
     # exact no-ops; per-frame stats are still returned per frame.
     # Default 1: through the remote tunnel the per-frame dispatches
-    # already pipeline (30.6 ms/frame vs 37.4 for an 11-frame scan,
-    # tools/probe_tracked_chunk.py) — the scan carries a measurable
-    # while-loop overhead at 256^3 and buys nothing unless dispatch
-    # latency is the bottleneck (it is not here; it may be on a
-    # many-host setup where the host enqueue thread saturates).
+    # already pipeline (12.8 ms/frame vs 14.9 for an 11-frame scan at
+    # 256^3, tools/probe_tracked_chunk.py) — the scan carries a small
+    # loop overhead and buys nothing unless dispatch latency is the
+    # bottleneck (it is not here; it may be on a setup where the host
+    # enqueue thread saturates).
     track_chunk: int = 1
 
     def make_volume(self) -> TSDFVolume:
@@ -239,7 +239,11 @@ def _check_misses(miss_log, config: FusionConfig) -> None:
     the run should use a larger candidate count."""
     if not miss_log:
         return
-    total = sum(int(m) for m in miss_log)
+    # ONE device-side reduction + ONE scalar read: per-entry int(m)
+    # reads are sequential D2H round trips (~25 ms each through the
+    # remote tunnel) and were measured DOMINATING the tracked loop
+    # (~20 ms/frame of a 33 ms frame — tools/probe_tracked_ablate.py)
+    total = int(jnp.sum(jnp.stack([jnp.asarray(m) for m in miss_log])))
     if total:
         import warnings
 
