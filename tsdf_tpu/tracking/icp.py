@@ -121,6 +121,28 @@ def level_intrinsics(fx, fy, cx, cy, level: int):
     return fx * s, fy * s, cx * s, cy * s
 
 
+def vertex_map_planes(
+    depth: jnp.ndarray, fx, fy, cx, cy, cutoff: float = DEPTH_CUTOFF_MM
+):
+    """Camera-space vertices as three (H, W) planes; NaN where invalid.
+
+    Planar twin of ``vertex_map`` (ref: computeVmapKernel
+    pyrdown.cu:93-133): a (H, W, 3) array tiles on TPU as 3 lanes
+    padded to 128, so every op on it pays ~42x — the tracker's hot path
+    stays in planes throughout.
+    """
+    d = jnp.asarray(depth, jnp.float32)
+    h, w = d.shape
+    us = jnp.arange(w, dtype=jnp.float32)[None, :]
+    vs = jnp.arange(h, dtype=jnp.float32)[:, None]
+    z = d
+    bad = ~((z > 0) & (z < cutoff))
+    vx = jnp.where(bad, jnp.nan, z * (us - cx) / fx)
+    vy = jnp.where(bad, jnp.nan, z * (vs - cy) / fy)
+    vz = jnp.where(bad, jnp.nan, z)
+    return vx, vy, vz
+
+
 def vertex_map(
     depth: jnp.ndarray, fx, fy, cx, cy, cutoff: float = DEPTH_CUTOFF_MM
 ) -> jnp.ndarray:
@@ -128,16 +150,45 @@ def vertex_map(
 
     ref: computeVmapKernel pyrdown.cu:93-133.
     """
-    d = jnp.asarray(depth, jnp.float32)
-    h, w = d.shape
-    us = jnp.arange(w, dtype=jnp.float32)[None, :]
-    vs = jnp.arange(h, dtype=jnp.float32)[:, None]
-    z = d
-    vx = z * (us - cx) / fx
-    vy = z * (vs - cy) / fy
-    vmap = jnp.stack([vx, vy, z], axis=-1)
-    valid = (z > 0) & (z < cutoff)
-    return jnp.where(valid[..., None], vmap, jnp.nan)
+    return jnp.stack(
+        vertex_map_planes(depth, fx, fy, cx, cy, cutoff), axis=-1
+    )
+
+
+def normal_map_planes(vx, vy, vz):
+    """Screen-space normals as three (H, W) planes; NaN where undefined.
+
+    Planar twin of ``normal_map`` (ref: computeNmapKernel
+    pyrdown.cu:135-188; last row/col invalid). Shifts are stride-1
+    pad+slice (jnp.roll on a (H, W, 3) layout pays the padded-lane tax;
+    the wrapped row/column lands only in the last row/col, which is
+    overwritten with NaN exactly as the rolled formulation).
+    """
+    h, w = vx.shape
+
+    def shift_x(p):
+        return jnp.pad(p[:, 1:], ((0, 0), (0, 1)))
+
+    def shift_y(p):
+        return jnp.pad(p[1:, :], ((0, 1), (0, 0)))
+
+    rx = shift_x(vx) - vx
+    ry = shift_x(vy) - vy
+    rz = shift_x(vz) - vz
+    dx = shift_y(vx) - vx
+    dy = shift_y(vy) - vy
+    dz = shift_y(vz) - vz
+    nx = ry * dz - rz * dy
+    ny = rz * dx - rx * dz
+    nz = rx * dy - ry * dx
+    norm = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    norm = jnp.where(norm == 0, 1.0, norm)
+    ys = jnp.arange(h, dtype=jnp.int32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.int32)[None, :]
+    edge = (ys == h - 1) | (xs == w - 1)
+    return tuple(
+        jnp.where(edge, jnp.nan, c / norm) for c in (nx, ny, nz)
+    )
 
 
 def normal_map(vmap: jnp.ndarray) -> jnp.ndarray:
@@ -145,14 +196,10 @@ def normal_map(vmap: jnp.ndarray) -> jnp.ndarray:
 
     ref: computeNmapKernel pyrdown.cu:135-188 (last row/col invalid).
     """
-    right = jnp.roll(vmap, -1, axis=1) - vmap
-    down = jnp.roll(vmap, -1, axis=0) - vmap
-    n = jnp.cross(right, down)
-    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    n = n / jnp.where(norm == 0, 1.0, norm)
-    n = n.at[-1, :, :].set(jnp.nan)
-    n = n.at[:, -1, :].set(jnp.nan)
-    return n
+    return jnp.stack(
+        normal_map_planes(vmap[..., 0], vmap[..., 1], vmap[..., 2]),
+        axis=-1,
+    )
 
 
 def icp_step(
@@ -263,19 +310,45 @@ def icp_step_banded(
     large-motion outliers; the pyramid's coarse levels absorb large
     motion first).
     """
+    return icp_step_banded_planes(
+        rot, trans,
+        tuple(vmap_curr[..., i] for i in range(3)),
+        tuple(nmap_curr[..., i] for i in range(3)),
+        depth_prev, fx, fy, cx, cy,
+        band=band, dist_thresh=dist_thresh, angle_thresh=angle_thresh,
+        cutoff=cutoff, row_offset=row_offset, adaptive=adaptive,
+    )
+
+
+def icp_step_banded_planes(
+    rot: jnp.ndarray,
+    trans: jnp.ndarray,
+    vc_planes,  # 3x (H, W): current vertex map planes
+    nc_planes,  # 3x (H, W): current normal map planes
+    depth_prev: jnp.ndarray,
+    fx, fy, cx, cy,
+    band: int = 32,
+    dist_thresh: float = DIST_THRESH_MM,
+    angle_thresh: float = ANGLE_THRESH,
+    cutoff: float = DEPTH_CUTOFF_MM,
+    row_offset=0,
+    adaptive: bool = True,
+):
+    """icp_step_banded on (H, W) component planes.
+
+    Planar (H, W) layout throughout: a (N, 3) point list tiles on TPU
+    as 3 lanes padded to 128 (a 42x vreg/HBM waste on every
+    materialized intermediate), and the (N, 6) residual-row matrix the
+    old formulation fed to rows.T @ rows materializes ~157 MB at
+    640x480. Image-shaped planes tile perfectly; the normal-equation
+    reduction becomes one (8, N) Gram matmul at the end.
+    """
     from ..kernels.gather import lane_gather_any
 
     h, w = depth_prev.shape
-    hc, wc = vmap_curr.shape[0], vmap_curr.shape[1]
-
-    # Planar (H, W) layout throughout: a (N, 3) point list tiles on TPU
-    # as 3 lanes padded to 128 (a 42x vreg/HBM waste on every
-    # materialized intermediate), and the (N, 6) residual-row matrix the
-    # old formulation fed to rows.T @ rows materializes ~157 MB at
-    # 640x480. Image-shaped planes tile perfectly; the normal-equation
-    # reduction becomes one (8, N) Gram matmul at the end.
-    vcx, vcy, vcz = (vmap_curr[..., i] for i in range(3))
-    ncx, ncy, ncz = (nmap_curr[..., i] for i in range(3))
+    vcx, vcy, vcz = vc_planes
+    ncx, ncy, ncz = nc_planes
+    hc, wc = vcx.shape
 
     vix = rot[0, 0] * vcx + rot[0, 1] * vcy + rot[0, 2] * vcz + trans[0]
     viy = rot[1, 0] * vcx + rot[1, 1] * vcy + rot[1, 2] * vcz + trans[1]
@@ -518,11 +591,17 @@ def get_incremental_transformation(
     maps = []
     for lvl in range(levels):
         lfx, lfy, lcx, lcy = level_intrinsics(fx, fy, cx, cy, lvl)
-        vc = vertex_map(pyr_c[lvl], lfx, lfy, lcx, lcy)
-        vp = vertex_map(pyr_p[lvl], lfx, lfy, lcx, lcy)
-        maps.append(
-            (vc, normal_map(vc), vp, normal_map(vp), lfx, lfy, lcx, lcy)
-        )
+        vc = vertex_map_planes(pyr_c[lvl], lfx, lfy, lcx, lcy)
+        nc = normal_map_planes(*vc)
+        if band is None:
+            # the exact path looks up the previous frame's maps; the
+            # banded path reconstructs them from depth_prev and must
+            # not pay for 6 unused map builds per call
+            vp = vertex_map(pyr_p[lvl], lfx, lfy, lcx, lcy)
+            np_ = normal_map(vp)
+        else:
+            vp = np_ = None
+        maps.append((vc, nc, vp, np_, lfx, lfy, lcx, lcy))
 
     pose = (
         jnp.eye(4, dtype=jnp.float32) if init_pose is None
@@ -545,7 +624,7 @@ def get_incremental_transformation(
         def step(pose, _lvl=lvl, _vc=vc, _nc=nc, _vp=vp, _np=np_,
                  _fx=lfx, _fy=lfy, _cx=lcx, _cy=lcy):
             if band is not None:
-                return icp_step_banded(
+                return icp_step_banded_planes(
                     pose[0:3, 0:3], pose[0:3, 3], _vc, _nc, pyr_p[_lvl],
                     _fx, _fy, _cx, _cy,
                     band=max(band >> _lvl, 8),
@@ -553,7 +632,9 @@ def get_incremental_transformation(
                     adaptive=adaptive,
                 )
             return icp_step(
-                pose[0:3, 0:3], pose[0:3, 3], _vc, _nc, _vp, _np,
+                pose[0:3, 0:3], pose[0:3, 3],
+                jnp.stack(_vc, axis=-1), jnp.stack(_nc, axis=-1),
+                _vp, _np,
                 _fx, _fy, _cx, _cy, dist_thresh, angle_thresh,
             )
 
