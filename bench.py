@@ -5,24 +5,34 @@ Headline: voxel-updates/s per chip for TSDF depth-frame integration at
 512^3 with 640x480 frames (BASELINE.json metric), plus rays/s for the
 sphere-traced raycast and pipeline frame times as auxiliary fields.
 
-The reference publishes no numbers (SURVEY.md §6) and its README calls
-itself unoptimized and not real-time; ``vs_baseline`` is therefore
-measured against this repo's own first recorded number
-(see BASELINE.md), i.e. 1.0 until a prior round's value exists in
-BENCH_BASELINE.json.
+The reference publishes no performance numbers (SURVEY.md §6) and its
+README calls itself unoptimized and not real-time; ``vs_baseline`` is
+therefore measured against this repo's own first recorded numbers
+(BENCH_BASELINE.json) as a COMPOSITE: the geometric mean of
+per-section speedups, where a section that was skipped or failed
+contributes ratio 1.0 (no-gain) so partial runs are visibly worse than
+complete ones (round-3 verdict items 1 and 8). Skipped sections also
+appear in ``aux.sections_skipped`` and emit ``aux[<key>] = null``.
 
-Robustness (round-2 post-mortem): the round-2 driver run died at
-rc=124 with NO json line because cold remote compiles (and one kernel
-whose compile failed with a vmem OOM) jammed the compile queue past
-the driver's timeout. This harness now (a) arms a watchdog thread that
-prints the JSON line with whatever has been measured and hard-exits
-before any plausible driver timeout, (b) skips aux sections when the
-remaining budget is too small, and (c) orders sections so the most
-important numbers land first. Keep `.jax_cache` warm (run bench.py
-after any kernel change) so the driver's run recompiles nothing.
+Robustness history:
+  * round 2: the driver run died rc=124 with NO json — a pathological
+    Mosaic compile jammed past the driver timeout. -> watchdog thread
+    that force-prints the JSON and hard-exits.
+  * round 3: every aux section was SKIPPED — the FIRST DEVICE OP of the
+    process stalled ~250-330 s (reproduced on a trivial ``jnp.sum``
+    with a fully warm compile cache, so it is a remote
+    claim/provisioning stall in the axon pool, not a compile and not
+    this repo's code; it grew from ~30 s to ~5 min during round 3).
+    -> the stall is now measured FIRST, attributed in
+    ``aux.first_op_stall_s``, and the deadline is extended by it (the
+    budget pays for measurement work, not for the environment), capped
+    at BENCH_HARD_CAP_S to stay inside any plausible driver timeout.
+Keep `.jax_cache` warm (run bench.py after any kernel change) so the
+driver's run recompiles nothing.
 """
 
 import json
+import math
 import os
 import sys
 import threading
@@ -30,14 +40,39 @@ import time
 
 import numpy as np
 
-# Wall-clock budget for the whole bench. The watchdog fires slightly
-# after this and force-prints the JSON; sections stop starting once
-# less than their expected cost remains.
+# Wall-clock budget for measurement work (excludes the first-op stall,
+# which is measured and added, see module docstring). The watchdog
+# fires slightly after the effective deadline and force-prints the
+# JSON; sections stop starting once less than their expected cost
+# remains.
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "360"))
+# Absolute ceiling on the effective deadline (stall included). The
+# round-3 driver run was healthy at ~345 s; round 2's died somewhere
+# past ~600 s. 560 keeps a margin under the shortest plausible driver
+# timeout while letting a ~300 s environment stall still yield a
+# complete warm-cache run (~110 s of measurement work).
+HARD_CAP_S = float(os.environ.get("BENCH_HARD_CAP_S", "560"))
 
 _T0 = time.perf_counter()
 _RESULT = {"aux": {}}
 _PRINTED = threading.Event()
+_DEADLINE = [DEADLINE_S]  # effective; extended after the stall probe
+
+# Section registry: aux keys each section is expected to fill, with the
+# direction and the first-recorded baseline used for the composite
+# vs_baseline (values from BENCH_BASELINE.json "sections"; these are
+# the fallbacks if that file predates the composite scheme).
+SECTION_KEYS = {
+    "integrate": [("integrate_ms", "lower", 22.7)],
+    "raycast": [("raycast_ms", "lower", 28.7)],
+    "kinfu": [("kinfu_tracked_ms_256", "lower", 58.6)],
+    "scenefusion": [("scenefusion_ms_255", "lower", 210.6)],
+    "pose-adjoint": [("integrate_pose_bwd_ms", "lower", 57.3)],
+    "raycast-deep": [("raycast_deep_ms", "lower", 51.1)],
+    "colour-integrate": [("integrate_color_ms", "lower", 24.6)],
+    "bilateral": [("bilateral_ms", "lower", 3.1)],
+}
+_SKIPPED: list = []
 
 
 def _elapsed():
@@ -45,7 +80,43 @@ def _elapsed():
 
 
 def _remaining():
-    return DEADLINE_S - _elapsed()
+    return _DEADLINE[0] - _elapsed()
+
+
+def _baseline_sections():
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
+    )
+    head_value, sections = None, {}
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        head_value = data.get("value")
+        sections = data.get("sections", {})
+    except Exception:
+        pass
+    return head_value, sections
+
+
+def _composite_vs_baseline():
+    """Geomean of per-section speedups vs the first recorded numbers.
+
+    A section whose aux key is missing/None (skipped or failed)
+    contributes 1.0, so a partial run scores strictly worse than the
+    same run complete. Per-key ratios are exposed for attribution."""
+    _, file_sections = _baseline_sections()
+    ratios = {}
+    for _name, keys in SECTION_KEYS.items():
+        for key, direction, fallback in keys:
+            base = file_sections.get(key, {}).get("value", fallback)
+            cur = _RESULT["aux"].get(key)
+            if cur is None or not base:
+                ratios[key] = 1.0
+                continue
+            ratios[key] = base / cur if direction == "lower" else cur / base
+    geo = math.exp(sum(math.log(max(r, 1e-9)) for r in ratios.values())
+                   / len(ratios))
+    return geo, ratios
 
 
 def _emit():
@@ -53,20 +124,31 @@ def _emit():
     if _PRINTED.is_set():
         return
     _PRINTED.set()
+    for _name, keys in SECTION_KEYS.items():
+        for key, _d, _f in keys:
+            _RESULT["aux"].setdefault(key, None)
+    _RESULT["aux"]["sections_skipped"] = sorted(_SKIPPED)
+    composite, ratios = _composite_vs_baseline()
+    _RESULT["aux"]["vs_baseline_sections"] = {
+        k: round(v, 4) for k, v in ratios.items()
+    }
     out = {
         "metric": _RESULT.get(
             "metric", "voxel-updates/s per chip (integrate)"
         ),
         "value": _RESULT.get("value"),
         "unit": "voxel-updates/s",
-        "vs_baseline": _RESULT.get("vs_baseline", 1.0),
+        # composite across ALL sections (geomean; skipped = 1.0), per
+        # round-3 verdict item 8 — the old integrate-only ratio is in
+        # aux.vs_baseline_integrate for continuity
+        "vs_baseline": round(composite, 4),
         "aux": _RESULT["aux"],
     }
     print(json.dumps(out), flush=True)
 
 
 def _watchdog():
-    while _elapsed() < DEADLINE_S + 10.0:
+    while _elapsed() < _DEADLINE[0] + 10.0:
         if _PRINTED.is_set():
             return
         time.sleep(1.0)
@@ -194,6 +276,23 @@ def main():
     from tsdf_tpu.kernels.raycast import raycast_pallas
     from tsdf_tpu.utils import fixtures
 
+    # ---- First-op stall probe (round-3 post-mortem): the axon pool's
+    # claim/provision of the chip stalls the process's FIRST device op
+    # for up to ~5 minutes, independent of this repo's code (reproduced
+    # on this trivial op with a warm cache). Measure it, report it,
+    # and extend the measurement budget by it so one environment stall
+    # cannot erase every section.
+    _note("first-op stall probe (axon claim)")
+    t0 = time.perf_counter()
+    _sync(jnp.ones((8, 128)) * 2.0)
+    stall = time.perf_counter() - t0
+    _RESULT["aux"]["first_op_stall_s"] = round(stall, 1)
+    _DEADLINE[0] = min(DEADLINE_S + stall, HARD_CAP_S)
+    _note(
+        f"first op synced in {stall:.1f}s; effective deadline "
+        f"{_DEADLINE[0]:.0f}s"
+    )
+
     grid = int(os.environ.get("BENCH_GRID", "512"))
     width, height = 640, 480
 
@@ -221,38 +320,30 @@ def main():
     v, miss = integrate_pallas(vol, depth, camera, mode="line")
     _sync(v.weight)
     iters = 10
-    misses = []
+    misses = [miss]
     t0 = time.perf_counter()
     for _ in range(iters):
         v, miss = integrate_pallas(v, depth, camera, mode="line")
         misses.append(miss)
     _sync(v.weight)
     dt_int = (time.perf_counter() - t0) / iters
-    assert sum(int(m) for m in misses) == 0
+    assert float(jnp.sum(jnp.stack(misses))) == 0.0
     voxel_updates_per_s = grid**3 / dt_int
     _note(f"integrate done: {dt_int*1e3:.1f} ms")
 
-    baseline = None
-    baseline_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
-    )
-    if os.path.exists(baseline_path):
-        try:
-            with open(baseline_path) as f:
-                baseline = json.load(f).get("value")
-        except Exception:
-            baseline = None
+    head_baseline, _ = _baseline_sections()
 
     _RESULT["metric"] = (
         f"voxel-updates/s per chip (integrate, {grid}^3, 640x480)"
     )
     _RESULT["value"] = voxel_updates_per_s
-    _RESULT["vs_baseline"] = (
-        voxel_updates_per_s / baseline if baseline else 1.0
-    )
     _RESULT["aux"].update(
         {
             "integrate_ms": dt_int * 1e3,
+            "vs_baseline_integrate": (
+                round(voxel_updates_per_s / head_baseline, 4)
+                if head_baseline else 1.0
+            ),
             "grid": grid,
             "device": str(jax.devices()[0]),
             "tpu_unreachable": False,
@@ -261,12 +352,19 @@ def main():
 
     # ---- Aux sections, most important first. Each checks the remaining
     # budget before starting; a hung remote compile is caught by the
-    # watchdog, which prints whatever landed so far.
+    # watchdog, which prints whatever landed so far. Skips/failures are
+    # recorded so a partial run is visible in the JSON (null aux keys +
+    # sections_skipped + composite vs_baseline counting them as 1.0).
     def section(name, min_budget_s):
         if _remaining() < min_budget_s:
             _note(f"SKIP {name}: {_remaining():.0f}s left < {min_budget_s}s")
+            _SKIPPED.append(name)
             return False
         return True
+
+    def failed(name, e):
+        _note(f"{name} failed: {type(e).__name__}: {e}")
+        _SKIPPED.append(f"{name} (failed)")
 
     # Raycast a fused sphere volume (sphere mode, the production path).
     if section("raycast", 45):
@@ -296,11 +394,11 @@ def main():
             _RESULT["aux"]["rays_per_s"] = width * height / dt_ray
             _note(f"raycast done: {dt_ray*1e3:.1f} ms")
         except Exception as e:
-            _note(f"raycast failed: {type(e).__name__}: {e}")
+            failed("raycast", e)
 
     # Full tracked KinectFusion loop (bilateral + banded ICP vs model
     # render + integrate) at 256^3 — the BASELINE config-3 shape.
-    if section("kinfu", 120):
+    if section("kinfu", 100):
         try:
             from tsdf_tpu.pipelines import FusionConfig, track_and_fuse_frames
 
@@ -365,7 +463,7 @@ def main():
             # A/B: the ICP convergence early-exit (conv_eps) — slow
             # motion converges in a few Gauss-Newton iterations, the
             # rest of the 10/5/4 schedule is identity updates
-            if section("kinfu-eps", 60):
+            if section("kinfu-eps", 45):
                 cfg_eps = FusionConfig(
                     width=width, height=height, use_pallas=True,
                     use_bilateral_filter=True, icp_conv_eps=0.02,
@@ -389,12 +487,12 @@ def main():
                 )
                 _note(f"kinfu eps done: {per_frame_eps}")
         except Exception as e:
-            _note(f"kinfu failed: {type(e).__name__}: {e}")
+            failed("kinfu", e)
 
     # Fused non-rigid SceneFusion frame (masked-soup extract ->
     # matmul-scatter deformation update -> warped Pallas integrate, one
     # jit) at the reference's 255^3 default (SceneFusion.cpp:49).
-    if section("scenefusion", 90):
+    if section("scenefusion", 80):
         try:
             from tsdf_tpu.ops.raycast import render_to_depth_image
             from tsdf_tpu.pipelines.scenefusion import (
@@ -446,11 +544,11 @@ def main():
             )
             _note(f"scenefusion done: {np.median(sf_times)*1e3:.1f} ms")
         except Exception as e:
-            _note(f"scenefusion failed: {type(e).__name__}: {e}")
+            failed("scenefusion", e)
 
     # Differentiable-fusion backward: the analytic pose adjoint (three
     # tables through the shared line-warp lookup) at the headline grid.
-    if section("pose-adjoint", 60):
+    if section("pose-adjoint", 45):
         try:
             from tsdf_tpu.kernels.integrate import _pose_grad_pallas
 
@@ -470,11 +568,11 @@ def main():
             _RESULT["aux"]["integrate_pose_bwd_ms"] = dt_pgrad * 1e3
             _note(f"pose-adjoint done: {dt_pgrad*1e3:.1f} ms")
         except Exception as e:
-            _note(f"pose-adjoint failed: {type(e).__name__}: {e}")
+            failed("pose-adjoint", e)
 
     # Deep-scene raycast (config-1-like: far wall at z=2500, rays sweep
     # most of the volume): exercises the exact empty-brick skip.
-    if section("raycast-deep", 45):
+    if section("raycast-deep", 40):
         try:
             wall2 = fixtures.wall_tsdf(vol2, 2500.0)
             deep = vol2.replace(
@@ -486,10 +584,10 @@ def main():
             _RESULT["aux"]["raycast_deep_ms"] = dt_deep * 1e3
             _note(f"raycast deep done: {dt_deep*1e3:.1f} ms")
         except Exception as e:
-            _note(f"raycast deep failed: {type(e).__name__}: {e}")
+            failed("raycast-deep", e)
 
     # Colour integrate (depth + packed-RGB two-table kernel).
-    if section("colour-integrate", 45):
+    if section("colour-integrate", 40):
         try:
             from tsdf_tpu.kernels.integrate import integrate_color_pallas
 
@@ -517,11 +615,11 @@ def main():
             _RESULT["aux"]["integrate_color_ms"] = dt_cint * 1e3
             _note(f"colour integrate done: {dt_cint*1e3:.1f} ms")
         except Exception as e:
-            _note(f"colour integrate failed: {type(e).__name__}: {e}")
+            failed("colour-integrate", e)
 
     # Bilateral pre-filter: lax stencil vs the VMEM-resident Pallas
     # kernel (bit-equal outputs; the kernel makes one HBM pass).
-    if section("bilateral", 45):
+    if section("bilateral", 40):
         try:
             from tsdf_tpu.kernels.bilateral import bilateral_filter_pallas
             from tsdf_tpu.ops.bilateral import bilateral_filter
@@ -536,7 +634,7 @@ def main():
                 f"lax {dt_bilat_lax*1e3:.2f} ms"
             )
         except Exception as e:
-            _note(f"bilateral failed: {type(e).__name__}: {e}")
+            failed("bilateral", e)
 
     _emit()
 

@@ -301,6 +301,14 @@ def track_and_fuse_frames(
             "deformation-enabled volumes; use use_pallas=False or the "
             "SceneFusion pipeline for non-rigid fusion"
         )
+    if config.track_chunk > 1 and not config.use_pallas:
+        # fail fast: the chunked scan body is the Pallas tracked step;
+        # silently falling back to per-frame dispatches would hide the
+        # requested batching with no signal.
+        raise ValueError(
+            "FusionConfig(track_chunk>1) requires use_pallas=True; the "
+            "lax path dispatches per frame"
+        )
     k = camera.k
     fx, fy = k[0, 0], k[1, 1]
     cx, cy = k[0, 2], k[1, 2]
@@ -496,6 +504,10 @@ def _tracked_step_body(
     wy = jnp.where(jnp.isfinite(verts[..., 1]), verts[..., 1], 0.0)
     wz = jnp.where(jnp.isfinite(verts[..., 2]), verts[..., 2], 0.0)
     camz = pi[2, 0] * wx + pi[2, 1] * wy + pi[2, 2] * wz + pi[2, 3]
+    # NB: unlike camera.world_to_camera this skips the homogeneous
+    # w-divide; pose_inv comes from jnp.linalg.inv so its bottom row is
+    # only approximately [0,0,0,1] — using row 2 directly is the
+    # (slightly more correct) intended math, not an oversight.
     model_depth = jnp.where(jnp.isfinite(verts).all(-1), camz, 0.0)
 
     res = get_incremental_transformation(
@@ -523,10 +535,14 @@ def _tracked_step_body(
     # keep the previous pose — applying the garbage increment would
     # corrupt every subsequent frame's frame-to-model tracking.
     lost = inl < min_inl
-    pose_inc = jnp.where(
-        lost, jnp.eye(4, dtype=jnp.float32), pose_inc
+    # Select, don't multiply: on TPU `pose @ I` at default matmul
+    # precision rounds through bf16 operands, so a lost (or padded
+    # zero-depth) frame would perturb the carried pose by ~2^-9
+    # relative — lost frames must be EXACTLY pose-preserving (this also
+    # keeps chunk-tail padding an exact no-op on the chip).
+    camera = camera.set_pose(
+        jnp.where(lost, camera.pose, camera.pose @ pose_inc)
     )
-    camera = camera.set_pose(camera.pose @ pose_inc)
 
     def fuse(vol):
         if rgb is not None:
