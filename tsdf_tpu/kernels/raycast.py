@@ -360,10 +360,48 @@ def _sweep_bricks(
     return jnp.where(hit[..., None], verts, jnp.nan)
 
 
-# Sweep-axis permutations: new coords = original[perm]; each is its own
-# inverse. Entry i sweeps along original axis ("z", "y", "x") resp.
-_AXIS_PERMS = ((0, 1, 2), (0, 2, 1), (2, 1, 0))
+# Sweep permutations: new coords = original[perm], ordered (u, v, sweep).
+# Three sweep axes x two in-plane orientations — the row-line
+# parameterization needs image rows to actually traverse the u axis, and
+# a 90-degree camera roll makes rows constant-u under one orientation
+# while the other stays well-conditioned (the round-3 "rows degenerate
+# at |roll| ~ 90 deg -> misses" limitation, now closed). Pairs (2i, 2i+1)
+# sweep original axis ("z", "y", "x") resp.
+_SWEEP_PERMS = (
+    (0, 1, 2), (1, 0, 2),  # sweep z: u=x | u=y
+    (0, 2, 1), (2, 0, 1),  # sweep y: u=x | u=z
+    (2, 1, 0), (1, 2, 0),  # sweep x: u=z | u=y
+)
+# Back-compat aliases (the first orientation of each sweep axis, the
+# round-2 self-inverse triple).
+_AXIS_PERMS = (_SWEEP_PERMS[0], _SWEEP_PERMS[2], _SWEEP_PERMS[4])
 _ARRAY_PERMS = ((0, 1, 2), (1, 0, 2), (2, 1, 0))  # for [z, y, x] arrays
+
+
+def _array_perm(q):
+    """Transpose spec turning a [z, y, x] array into [sweep, v, u] for
+    coord perm ``q`` (coords numbered 0=x, 1=y, 2=z; dim of coord c in a
+    [z, y, x] array is 2 - c)."""
+    return (2 - q[2], 2 - q[1], 2 - q[0])
+
+
+def _inv_perm(q):
+    """Inverse coordinate permutation (q is not always self-inverse)."""
+    return tuple(sorted(range(3), key=q.__getitem__))
+
+
+def _sweep_branch_index(m, fwd):
+    """Traced branch index into ``_SWEEP_PERMS``: the sweep axis most
+    aligned with the camera forward, then the in-plane orientation whose
+    u axis the image rows actually traverse (|d dir/d px| component)."""
+    axis = jnp.argmax(jnp.abs(jnp.stack([fwd[2], fwd[1], fwd[0]])))
+    # primary/alternate u axis (coord index) per sweep axis, matching
+    # _SWEEP_PERMS pair order
+    prim = jnp.array([0, 0, 2], jnp.int32)
+    alt = jnp.array([1, 2, 1], jnp.int32)
+    mcol = jnp.abs(m[:, 0])  # d(ray dir)/d(pixel x)
+    orient = (mcol[alt[axis]] > mcol[prim[axis]]).astype(jnp.int32)
+    return axis * 2 + orient
 
 
 @partial(
@@ -391,12 +429,12 @@ def raycast_pallas(
     origin = camera.position
     fwd = camera.pose[0:3, 2]
 
-    def branch(axis_entry):
-        perm, aperm = axis_entry
+    def branch(perm):
         p = jnp.asarray(perm)
+        ip = jnp.asarray(_inv_perm(perm))
 
         def run():
-            tsdf_p = jnp.transpose(vol.tsdf, aperm)
+            tsdf_p = jnp.transpose(vol.tsdf, _array_perm(perm))
             verts_p = _sweep(
                 tsdf_p,
                 m[p, :],
@@ -409,15 +447,13 @@ def raycast_pallas(
                 height,
                 interpret,
             )
-            return verts_p[..., p]  # un-permute components (self-inverse)
+            return verts_p[..., ip]  # un-permute components
 
         return run
 
-    # axis index: 0 -> sweep z, 1 -> sweep y, 2 -> sweep x
-    axis = jnp.argmax(jnp.abs(jnp.stack([fwd[2], fwd[1], fwd[0]])))
     verts = jax.lax.switch(
-        axis,
-        [branch(e) for e in zip(_AXIS_PERMS, _ARRAY_PERMS)],
+        _sweep_branch_index(m, fwd),
+        [branch(q) for q in _SWEEP_PERMS],
     )
 
     from ..ops.raycast import compute_normals_from_vertices

@@ -336,7 +336,7 @@ def raycast_sharded(
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "width", "height", "interpret"),
+    static_argnames=("mesh", "width", "height", "interpret", "axis_select"),
 )
 def raycast_sharded_bricked(
     vol: TSDFVolume,
@@ -345,6 +345,7 @@ def raycast_sharded_bricked(
     width: int = 640,
     height: int = 480,
     interpret: bool | None = None,
+    axis_select: bool | None = None,
 ):
     """Brick-LOCAL sharded raycast: per-device memory O(brick), not
     O(volume) (round-1 verdict item 7 / SURVEY §7 hard part (a)).
@@ -361,12 +362,28 @@ def raycast_sharded_bricked(
     variant's, but no device ever materialises more than one remote
     brick (the 768^3-class multi-host memory budget).
 
-    The sweep runs along the sharded z axis; cameras looking
-    near-perpendicular to z degrade to misses on degenerate rows (the
-    general-direction fallback is ``raycast_sharded``, which replicates
-    the volume). Returns (vertices, normals) like ops.raycast.
+    The sweep axis follows the camera's dominant forward direction (the
+    same 3-permutation ``lax.switch`` as the single-chip kernel,
+    kernels/raycast.py:raycast_pallas): for a y- or x-dominant camera
+    the z-sharded bricks are re-sharded along the sweep axis with ONE
+    tiled ``all_to_all`` over the brick axis (O(brick)/device traffic
+    and memory), then streamed in sweep order exactly like the z case —
+    so ANY camera orientation keeps O(brick) per-device memory, matching
+    the reference's orientation-free per-pixel traversal
+    (ref: GPURaycaster.cu:265-377) at multi-host volume scale. All
+    devices compute the switch index from the replicated camera, so the
+    collectives inside the branches stay congruent. Set
+    ``axis_select=False`` to force the plain z sweep (e.g. when Y or X
+    does not divide the brick axis). Returns (vertices, normals) like
+    ops.raycast.
     """
-    from ..kernels.raycast import _sweep_bricks
+    from ..kernels.raycast import (
+        _SWEEP_PERMS,
+        _array_perm,
+        _inv_perm,
+        _sweep_branch_index,
+        _sweep_bricks,
+    )
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -376,51 +393,94 @@ def raycast_sharded_bricked(
     Z, Y, X = vol.tsdf.shape
     if Z % nb:
         raise ValueError(f"Z={Z} must divide the brick axis ({nb})")
-    zl = Z // nb
+    if axis_select is None:
+        # auto: general-direction sweeps whenever the re-shard divides
+        # evenly, else the z-only sweep (its documented limitation)
+        axis_select = not (Y % nb or X % nb)
+    elif axis_select and (Y % nb or X % nb):
+        raise ValueError(
+            f"axis_select needs Y={Y} and X={X} divisible by the brick "
+            f"axis ({nb}); pass axis_select=False for the z-only sweep"
+        )
     hp = -(-height // nd) * nd
     hl = hp // nd
 
     m = camera.rotation @ camera.k_inv
-    fwd_z = camera.pose[2, 2]
+    fwd = camera.pose[0:3, 2]  # camera forward, world frame
+    sizes = (X, Y, Z)  # extent per coord index
 
-    def local(tsdf_local, m, origin, off, physical, vs, fwd_z, trunc):
+    def local(tsdf_local, m, origin, off, physical, vs, fwd):
         me_b = jax.lax.axis_index("b")
         me = me_b * nr + jax.lax.axis_index("r")
-
-        def provider(p0, zb):
-            # brick broadcast: the owner contributes, everyone psums.
-            # p0 is zl-aligned by construction (zl | Z).
-            owner = p0 // zl
-            blk = jnp.where(
-                owner == me_b,
-                tsdf_local.astype(jnp.float32),
-                jnp.zeros(tsdf_local.shape, jnp.float32),
-            )
-            return jax.lax.psum(blk, "b")
 
         def any_alive(a):
             return (
                 jax.lax.psum(jnp.sum(a.astype(jnp.int32)), ("b", "r")) > 0
             )
 
-        verts = _sweep_bricks(
-            provider, Z, Y, X,
-            m, origin, off, physical, vs, fwd_z,
-            width, hl, interpret,
-            brick_slabs=zl, any_alive=any_alive, y0=me * hl,
+        def make_branch(perm):
+            p = jnp.asarray(perm)
+            ip = jnp.asarray(_inv_perm(perm))
+            extent = sizes[perm[2]]
+            sl = extent // nb
+
+            def run():
+                # Re-shard the LOCAL z-brick (zl, Y, X) to sweep-major
+                # [sweep_local, v, u]: transpose (the local dims are
+                # [z, y, x], same numbering as _array_perm), then — when
+                # the sweep axis is not z — ONE tiled all_to_all over
+                # "b" that splits the sweep axis and concatenates the z
+                # pieces back to full extent (O(brick)/device traffic).
+                t = jnp.transpose(
+                    tsdf_local.astype(jnp.float32), _array_perm(perm)
+                )
+                if perm[2] != 2:
+                    zdim = (_array_perm(perm)).index(0)  # where local z went
+                    t = jax.lax.all_to_all(
+                        t, "b", split_axis=0, concat_axis=zdim, tiled=True
+                    )
+                swept = t
+                yr, xr = swept.shape[1], swept.shape[2]
+
+                def provider(p0, zb):
+                    # brick broadcast: the owner contributes, everyone
+                    # psums. p0 is sl-aligned by construction (sl | extent).
+                    owner = p0 // sl
+                    blk = jnp.where(
+                        owner == me_b,
+                        swept,
+                        jnp.zeros(swept.shape, jnp.float32),
+                    )
+                    return jax.lax.psum(blk, "b")
+
+                verts_p = _sweep_bricks(
+                    provider, extent, yr, xr,
+                    m[p, :], origin[p], off[p], physical[p], vs[p],
+                    fwd[perm[2]],
+                    width, hl, interpret,
+                    brick_slabs=sl, any_alive=any_alive, y0=me * hl,
+                )
+                return verts_p[..., ip]  # un-permute components
+
+            return run
+
+        if not axis_select:
+            return make_branch(_SWEEP_PERMS[0])()
+        return jax.lax.switch(
+            _sweep_branch_index(m, fwd),
+            [make_branch(q) for q in _SWEEP_PERMS],
         )
-        return verts
 
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("b"), P(), P(), P(), P(), P(), P(), P()),
+        in_specs=(P("b"), P(), P(), P(), P(), P(), P()),
         out_specs=P(("b", "r")),
         check_vma=False,
     )
     verts = fn(
         vol.tsdf, m, camera.position, vol.offset, vol.physical_size,
-        vol.voxel_size, fwd_z, vol.truncation_distance,
+        vol.voxel_size, fwd,
     )[:height]
     normals = compute_normals_from_vertices(verts)
     return verts, normals
