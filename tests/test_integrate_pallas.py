@@ -209,12 +209,28 @@ def test_warped_pallas_matches_lax():
 
 
 def test_warped_pallas_counts_misses_on_excess_x_warp():
-    # 60mm x-warp (~24px) cannot fit nk=3: the kernel must skip-and-count,
-    # never fuse a wrong depth value
+    # The banded window absorbs any per-column CONSTANT x-warp, so the
+    # skip case needs x-warp VARIATION within a voxel column: +-60mm
+    # alternating with voxel y (~50px of within-column range) cannot
+    # fit nk=3 — the kernel must skip-and-count, never fuse a wrong
+    # depth value
+    import jax.numpy as jnp
+
     from tsdf_tpu import integrate
     from tsdf_tpu.kernels.integrate import integrate_warped_pallas
 
-    vol, depth, cam = _warp_test_setup(60.0, 0.0)
+    vol, depth, cam = _warp_test_setup(0.0, 0.0)
+    y = jnp.arange(32, dtype=jnp.float32)[None, :, None]
+    dx = 60.0 * jnp.where(y % 2 == 0, 1.0, -1.0)
+    disp = jnp.stack(
+        [
+            jnp.broadcast_to(dx, vol.deform.shape[:-1]),
+            jnp.zeros(vol.deform.shape[:-1]),
+            jnp.zeros(vol.deform.shape[:-1]),
+        ],
+        axis=-1,
+    )
+    vol = vol.replace(deform=vol.deform + disp)
     ref = integrate(vol, depth, cam)
     out, miss = integrate_warped_pallas(
         vol, depth, cam, nk=3, interpret=True
@@ -225,6 +241,33 @@ def test_warped_pallas_counts_misses_on_excess_x_warp():
     np.testing.assert_allclose(
         np.asarray(out.tsdf)[upd], np.asarray(ref.tsdf)[upd],
         rtol=0, atol=5e-3,
+    )
+
+
+def test_warped_pallas_banded_absorbs_large_uniform_x_warp():
+    # Round-4 banded window: a 60mm UNIFORM x-warp (~25-50px, far beyond
+    # the old (nk-1)/2 budget) is absorbed entirely by the per-column
+    # mid-range shift — zero misses at nk=3, results == lax
+    import jax.numpy as jnp
+
+    from tsdf_tpu import integrate
+    from tsdf_tpu.kernels.integrate import integrate_warped_pallas
+
+    vol, depth, cam = _warp_test_setup(0.0, 0.0)
+    disp = jnp.broadcast_to(
+        jnp.array([60.0, 0.0, 0.0], jnp.float32), vol.deform.shape
+    )
+    vol = vol.replace(deform=vol.deform + disp)
+    ref = integrate(vol, depth, cam)
+    out, miss = integrate_warped_pallas(
+        vol, depth, cam, nk=3, interpret=True
+    )
+    assert int(miss) == 0
+    np.testing.assert_array_equal(
+        np.asarray(out.weight), np.asarray(ref.weight)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.tsdf), np.asarray(ref.tsdf), rtol=0, atol=5e-3
     )
 
 
@@ -339,3 +382,98 @@ def test_color_pallas_accumulates_and_caps():
     w = np.asarray(out.weight) > 0
     band = np.abs(np.asarray(out.tsdf)) < float(vol.truncation_distance)
     assert (np.asarray(out.color)[w & band] > 150).any()
+
+
+def test_warped_miss_topup_closes_the_fallback():
+    # Pathological within-column warp (misses at nk=3) -> the top-up
+    # fuses EXACTLY the skipped voxels: result == lax on the whole
+    # volume, zero remaining; a full-frame lax fallback is never needed
+    import jax.numpy as jnp
+
+    from tsdf_tpu import integrate
+    from tsdf_tpu.kernels.integrate import (
+        integrate_warped_pallas,
+        warped_miss_topup,
+    )
+
+    vol, depth, cam = _warp_test_setup(0.0, 0.0)
+    y = jnp.arange(32, dtype=jnp.float32)[None, :, None]
+    dx = 60.0 * jnp.where(y % 2 == 0, 1.0, -1.0)
+    disp = jnp.stack(
+        [
+            jnp.broadcast_to(dx, vol.deform.shape[:-1]),
+            jnp.zeros(vol.deform.shape[:-1]),
+            jnp.zeros(vol.deform.shape[:-1]),
+        ],
+        axis=-1,
+    )
+    vol = vol.replace(deform=vol.deform + disp)
+    ref = integrate(vol, depth, cam)
+    out, miss, mask = integrate_warped_pallas(
+        vol, depth, cam, nk=3, interpret=True, return_mask=True
+    )
+    assert int(miss) > 0
+    assert float(jnp.sum(mask)) == float(miss)
+    full, remaining = warped_miss_topup(out, mask, depth, cam)
+    assert int(remaining) == 0
+    np.testing.assert_array_equal(
+        np.asarray(full.weight), np.asarray(ref.weight)
+    )
+    np.testing.assert_allclose(
+        np.asarray(full.tsdf), np.asarray(ref.tsdf), rtol=0, atol=5e-3
+    )
+
+
+def test_warped_miss_topup_cap_overflow_reports_remaining():
+    import jax.numpy as jnp
+
+    from tsdf_tpu.kernels.integrate import (
+        integrate_warped_pallas,
+        warped_miss_topup,
+    )
+
+    vol, depth, cam = _warp_test_setup(0.0, 0.0)
+    y = jnp.arange(32, dtype=jnp.float32)[None, :, None]
+    dx = 60.0 * jnp.where(y % 2 == 0, 1.0, -1.0)
+    disp = jnp.stack(
+        [
+            jnp.broadcast_to(dx, vol.deform.shape[:-1]),
+            jnp.zeros(vol.deform.shape[:-1]),
+            jnp.zeros(vol.deform.shape[:-1]),
+        ],
+        axis=-1,
+    )
+    vol = vol.replace(deform=vol.deform + disp)
+    out, miss, mask = integrate_warped_pallas(
+        vol, depth, cam, nk=3, interpret=True, return_mask=True
+    )
+    cap = max(int(miss) // 2, 1)
+    _full, remaining = warped_miss_topup(
+        out, mask, depth, cam, max_topup=cap
+    )
+    assert int(remaining) == int(miss) - cap
+
+
+def test_fast_mode_decimated_convention():
+    """mode="fast" (lane-span compression): sub-voxel agreement with
+    the exact path under its documented <=~3 px resampling convention —
+    >=99.9% identical update decisions, sub-voxel tsdf deltas."""
+    vol = make_volume((64,) * 3, 2000.0, offset=(-1000.0, -1000.0, 0.0))
+    cam = (
+        Camera.default_depth_camera()
+        .move_to([400.0, -250.0, -600.0])
+        .look_at([-100.0, 150.0, 1200.0])
+    )
+    depth = jnp.asarray(
+        fixtures.sphere_depth_map(640, 480, 120.0, 800.0, 1600.0)
+    )
+    ref = integrate(vol, depth, cam)
+    out, miss = integrate_pallas(vol, depth, cam, mode="fast", interpret=True)
+    assert int(miss) == 0
+    rw, ow = np.asarray(ref.weight), np.asarray(out.weight)
+    assert (rw == ow).mean() > 0.999
+    both = (rw > 0) & (ow > 0)
+    d = np.abs(np.asarray(ref.tsdf)[both] - np.asarray(out.tsdf)[both])
+    voxel = 2000.0 / 64
+    assert d.mean() < 0.1 * voxel
+    assert np.percentile(d, 99) < 0.5 * voxel

@@ -237,7 +237,7 @@ def test_fused_step_matches_sequential():
     flow = jnp.broadcast_to(
         jnp.array([5.0, 0.0, 0.0], jnp.float32), (H, W, 3)
     )
-    got, miss, n_corr, overflow = _sf_step_pallas(
+    got, miss, _mask, n_corr, overflow = _sf_step_pallas(
         vol, depth, flow, cam,
         max_cubes=1 << 14, nk=5,
         threshold_mm=10.0, tpu_safe=False,

@@ -175,7 +175,7 @@ def test_scenefusion_fused_step_on_device():
     flow = jnp.broadcast_to(
         jnp.array([8.0, 0.0, 0.0], jnp.float32), (H, W, 3)
     )
-    out, miss, n_corr, overflow = _sf_step_pallas(
+    out, miss, _mask, n_corr, overflow = _sf_step_pallas(
         vol, jnp.asarray(depth, jnp.float32), flow, cam,
         max_cubes=1 << 15, nk=5, threshold_mm=10.0, tpu_safe=True,
     )

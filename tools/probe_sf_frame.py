@@ -46,7 +46,7 @@ flow = jnp.broadcast_to(jnp.array([5.0, 0.0, 0.0], jnp.float32), (H, W, 3))
 
 print("[sf] compiling fused step (cold: big-sort compile ~40s)...", flush=True)
 t0 = time.time()
-out, miss, n_corr, _ovf = _sf_step_pallas(
+out, miss, _mask, n_corr, _ovf = _sf_step_pallas(
     vol, depth, flow, cam,
     max_cubes=cfg.max_cubes, nk=cfg.integrate_nk,
     threshold_mm=cfg.threshold_mm, tpu_safe=True,
@@ -60,7 +60,7 @@ ts = []
 v = vol
 for i in range(6):
     t0 = time.time()
-    v, miss, n_corr, _ovf = _sf_step_pallas(
+    v, miss, _mask, n_corr, _ovf = _sf_step_pallas(
         v, depth, flow, cam,
         max_cubes=cfg.max_cubes, nk=cfg.integrate_nk,
         threshold_mm=cfg.threshold_mm, tpu_safe=True,

@@ -368,6 +368,108 @@ def _kernel(
     out_miss_ref[0, 0] = jnp.full((8, _LANE), miss_count, jnp.int32)
 
 
+def _kernel_fast(
+    params_ref,  # (1, 24) f32 SMEM
+    depth_ref,  # (Hd, Wd) f32 VMEM — DECIMATED depth (rows/dr, cols/dc)
+    tsdf_ref,  # (1, Y, BX) f32 VMEM
+    weight_ref,  # (1, Y, BX) f32 VMEM
+    out_tsdf_ref,
+    out_weight_ref,
+    out_miss_ref,
+    *,
+    Y: int,
+    BX: int,
+    Hd: int,
+    Wd: int,
+    Hr: int,
+    Wr: int,
+    Yr: int,
+    Xr: int,
+    dr: int,
+    dc: int,
+    cap_weight: bool,
+):
+    """Decimated line-sweep integrate — the round-4 "lane-span
+    compression" prototype (BASELINE.md round-2 analysis: the exact
+    kernel is VPU gather-element-throughput bound at ~9 gathered
+    elements/voxel: pass 1 sweeps Wp/128 = 5 depth column blocks,
+    pass 2 Hp/128 = 4 warp-table row blocks, because a 128-voxel lane
+    group's pixel span is 110-443 px at 512^3).
+
+    The compression: sample a (dr x dc)-decimated depth image on the
+    column's exact image line evaluated at the decimated row (the line
+    convention of mode="line", in decimated coordinates) — the pixel
+    span of a lane group shrinks by dc and the row span by dr, so both
+    passes sweep ~1-2 blocks instead of 5 + 4 (~3 gathered
+    elements/voxel at (2, 4)). RESAMPLING CONVENTION, not exact: the
+    sampled pixel sits within dc/2 + |beta|(dr-1) <= ~3 px of the
+    reference's rounded projection (dr=2, dc=4, |beta| <= 1); interior
+    depth is smooth so the TSDF error is sub-voxel, but silhouette
+    pixels can land on the other side of an edge — use for
+    throughput-critical fusion where the exact modes' gather bound
+    dominates; the default stays exact.
+    """
+    pro = _rigid_prologue(params_ref, Y=Y, BX=BX, Yr=Yr, Xr=Xr, Hr=Hr, Wr=Wr)
+    trunc, max_weight = pro["trunc"], pro["max_weight"]
+    Zc, pyr = pro["Zc"], pro["pyr"]
+    alpha, beta, vox_valid = pro["alpha"], pro["beta"], pro["vox_valid"]
+
+    # decimated row per voxel + line-evaluated decimated column
+    pyd = jnp.clip(pyr, 0, Hr - 1) // dr  # (Y, BX) in [0, ceil(Hr/dr))
+    # pass-1 index plane: for each decimated table row r', the line's
+    # column at the REAL row r'*dr, in decimated units
+    y_img = jax.lax.broadcasted_iota(jnp.int32, (Hd, BX), 0).astype(
+        jnp.float32
+    )
+    c0d = jnp.round(
+        jnp.clip(alpha + beta * (y_img * dr), -_BIG, _BIG) / dc
+    ).astype(jnp.int32)
+
+    depth_full = depth_ref[...]
+    tmps = _pass1_gather((depth_full,), c0d, 1, BX, Hd, Wd)
+
+    # pass 2 at the decimated rows; the line convention needs no match
+    pydT = pyd.T
+    c0d_at = jnp.round(
+        jnp.clip(
+            alpha + beta * (pyd.astype(jnp.float32) * dr), -_BIG, _BIG
+        )
+        / dc
+    ).astype(jnp.int32)
+    (depth_val,), _matched = _pass2_select(
+        tmps, pydT, c0d_at, c0d_at, 1, BX, Y, Hd
+    )
+
+    in_img = (
+        (pyr >= 0) & (pyr < Hr)
+        & (c0d_at * dc >= 0) & (c0d_at * dc < Wr)
+        & vox_valid
+    )
+    # steep lines leave the convention's error bound: skip and count
+    matched = jnp.abs(beta) <= 1.0
+
+    d = tsdf_ref[0].astype(jnp.float32)
+    w = weight_ref[0].astype(jnp.float32)
+    sdf = depth_val - Zc
+    update = (
+        in_img & (Zc > 0.0) & matched & (depth_val > 0.0)
+        & (sdf >= -trunc)
+    )
+    tsdf_obs = jnp.minimum(sdf, trunc)
+    new_w = w + 1.0
+    new_d = (d * w + tsdf_obs) / new_w
+    if cap_weight:
+        new_w = jnp.minimum(new_w, max_weight)
+    out_tsdf_ref[0] = jnp.where(update, new_d, d).astype(
+        out_tsdf_ref.dtype
+    )
+    out_weight_ref[0] = jnp.where(update, new_w, w).astype(
+        out_weight_ref.dtype
+    )
+    miss_count = jnp.sum((in_img & ~matched).astype(jnp.int32))
+    out_miss_ref[0, 0] = jnp.full((8, _LANE), miss_count, jnp.int32)
+
+
 def _kernel_warped(
     params_ref,  # (1, 24) f32 SMEM
     depth_ref,  # (Hp, Wp) f32 VMEM
@@ -379,6 +481,7 @@ def _kernel_warped(
     out_tsdf_ref,
     out_weight_ref,
     out_miss_ref,
+    out_mask_ref,  # (1, Y, BX) f32: 1.0 where in-image but unmatched
     *,
     Y: int,
     BX: int,
@@ -402,6 +505,23 @@ def _kernel_warped(
     candidate window. Out-of-window voxels are skipped and counted
     (exact-or-skip, as the rigid kernel): callers escalate nk or fall
     back to the lax path on a nonzero count.
+
+    Dual-band window (round 4, the ICP adaptive-band trick adapted to
+    the warp field's actual structure): a SceneFusion deformation is
+    BIMODAL within a voxel column — background voxels sit on the rigid
+    lattice (pixel deviation ~0 up to rounding) while the deformed
+    surface shell is displaced by the accumulated flow (measured on a
+    large-deformation sequence by tools/probe_sf_warp.py: deviations
+    cluster at 0 and at the flow magnitude, tens of pixels). So pass 1
+    gathers TWO nk-candidate windows per column: one at the rigid line
+    (exact for the background mode, like the rigid kernel) and one
+    shifted by the mid-range of the column's clearly-deformed
+    deviations (|dev| >= 2, above rounding noise). A uniform or
+    locally-smooth flow of ANY pixel magnitude is thereby exact; only
+    voxels whose deviation falls between the modes (or a shell whose
+    within-column flow variation exceeds nk - 1) are skipped and
+    counted, vs the old absolute bound of (nk-1)/2 px for EVERY
+    deformed voxel.
     """
     # shared prologue computes the rigid lattice projection/line; only
     # the per-voxel projection is redone below on the DEFORMED centres
@@ -431,17 +551,43 @@ def _kernel_warped(
         (pxr >= 0) & (pxr < Wr) & (pyr >= 0) & (pyr < Hr) & vox_valid
     )
 
-    # --- pass 1 (identical to the rigid kernel) --------------------------
-    c0 = _pass1_index(alpha, beta, Hp, BX)
-    depth_full = depth_ref[...]
-    tmps = _pass1_gather((depth_full,), c0, nk, BX, Hp, Wp)
-
-    # --- pass 2 at the WARPED rows + exact-column select -----------------
+    # --- per-column deformed-mode shift ----------------------------------
+    # deviation of the warped column from the rigid line evaluated at
+    # the warped row (columns run along voxel y = sublanes); the
+    # deformed mode's shift is the mid-range over clearly-deformed
+    # voxels (|dev| >= 2 — rounding noise stays in the base window)
     pyrT, c0r = _pass2_index(alpha, beta, pyr, Hp)
-
-    (depth_val,), matched = _pass2_select(
-        tmps, pyrT, pxr, c0r, nk, BX, Y, Hp
+    dev = pxr - c0r  # (Y, BX) int32
+    dev_ok = in_img & (jnp.abs(dev) >= 2)
+    big = jnp.int32(1 << 20)
+    dev_lo = jnp.min(
+        jnp.where(dev_ok, dev, big), axis=0, keepdims=True
     )
+    dev_hi = jnp.max(
+        jnp.where(dev_ok, dev, -big), axis=0, keepdims=True
+    )
+    any_ok = jnp.any(dev_ok, axis=0, keepdims=True)
+    shift = jnp.where(
+        any_ok, (dev_lo + dev_hi) // 2, jnp.int32(0)
+    )  # (1, BX)
+
+    # --- pass 1: base window (rigid line) + shifted window ---------------
+    c0p1 = _pass1_index(alpha, beta, Hp, BX)
+    depth_full = depth_ref[...]
+    tmps_base = _pass1_gather((depth_full,), c0p1, nk, BX, Hp, Wp)
+    tmps_shift = _pass1_gather(
+        (depth_full,), c0p1 + shift, nk, BX, Hp, Wp
+    )
+
+    # --- pass 2 at the WARPED rows + exact-column select on both bands ---
+    (val_b,), matched_b = _pass2_select(
+        tmps_base, pyrT, pxr, c0r, nk, BX, Y, Hp
+    )
+    (val_s,), matched_s = _pass2_select(
+        tmps_shift, pyrT, pxr, c0r + shift, nk, BX, Y, Hp
+    )
+    depth_val = jnp.where(matched_b, val_b, val_s)
+    matched = matched_b | matched_s
 
     # --- the TSDF update (identical math) --------------------------------
     d = tsdf_ref[0].astype(jnp.float32)
@@ -462,8 +608,13 @@ def _kernel_warped(
     out_weight_ref[0] = jnp.where(update, new_w, w).astype(
         out_weight_ref.dtype
     )
-    miss_count = jnp.sum((in_img & ~matched).astype(jnp.int32))
+    missed = in_img & ~matched
+    miss_count = jnp.sum(missed.astype(jnp.int32))
     out_miss_ref[0, 0] = jnp.full((8, _LANE), miss_count, jnp.int32)
+    # per-voxel miss mask: consumed by warped_miss_topup, which redoes
+    # exactly these voxels through the sorted matmul gather/scatter so
+    # a frame with misses never needs the full-volume lax fallback
+    out_mask_ref[0] = missed.astype(jnp.float32)
 
 
 @partial(
@@ -503,6 +654,12 @@ def integrate_pallas(
           Always nk=1: ~2x faster than exact nk=3 for generic poses with
           zero misses; columns steeper than |beta| = 1 (extreme roll)
           are skipped and counted.
+        "fast" — the line convention on a (2 x 4)-decimated depth image
+          (lane-span compression, see _kernel_fast): ~3 gathered
+          elements/voxel instead of ~9, at the cost of a documented
+          <= ~3 px resampling convention (sub-voxel TSDF error on
+          smooth depth; silhouette pixels can land across an edge).
+          NOT exact — accuracy-critical fusion should use exact/line.
 
     Returns:
       (updated volume, miss_count) — miss_count is the number of
@@ -510,9 +667,11 @@ def integrate_pallas(
       extreme camera roll: re-run with larger nk / mode="exact" /
       ops.integrate).
     """
-    if mode not in ("exact", "line"):
-        raise ValueError(f"mode must be 'exact' or 'line', got {mode!r}")
-    if mode == "line":
+    if mode not in ("exact", "line", "fast"):
+        raise ValueError(
+            f"mode must be 'exact', 'line' or 'fast', got {mode!r}"
+        )
+    if mode in ("line", "fast"):
         nk = 1
     if vol.deform is not None:
         raise ValueError(
@@ -528,6 +687,17 @@ def integrate_pallas(
     Wp = _round_up(Wr, _LANE)
 
     depth_f = jnp.asarray(depth, jnp.float32)
+
+    if mode == "fast":
+        # (dr x dc)-decimated depth: lane-span compression (see
+        # _kernel_fast). Strided slicing happens in XLA, outside the
+        # kernel.
+        dr, dc = 2, 4
+        dep_d = depth_f[::dr, ::dc]
+        Hd_r, Wd_r = dep_d.shape
+        Hd = _round_up(Hd_r, _LANE)
+        Wd = _round_up(Wd_r, _LANE)
+        dep_d = jnp.pad(dep_d, ((0, Hd - Hd_r), (0, Wd - Wd_r)))
     if (Hp, Wp) != (Hr, Wr):
         depth_f = jnp.pad(depth_f, ((0, Hp - Hr), (0, Wp - Wr)))
 
@@ -545,20 +715,29 @@ def integrate_pallas(
 
     params = _pack_params(vol, camera)
 
-    kern = partial(
-        _kernel,
-        Y=Y,
-        BX=BX,
-        Hp=Hp,
-        Wp=Wp,
-        Hr=Hr,
-        Wr=Wr,
-        Yr=Yr,
-        Xr=Xr,
-        nk=nk,
-        cap_weight=cap_weight,
-        line_mode=(mode == "line"),
-    )
+    if mode == "fast":
+        kern = partial(
+            _kernel_fast,
+            Y=Y, BX=BX, Hd=Hd, Wd=Wd, Hr=Hr, Wr=Wr, Yr=Yr, Xr=Xr,
+            dr=dr, dc=dc, cap_weight=cap_weight,
+        )
+        depth_f = dep_d
+        Hp, Wp = Hd, Wd  # the depth BlockSpec below uses (Hp, Wp)
+    else:
+        kern = partial(
+            _kernel,
+            Y=Y,
+            BX=BX,
+            Hp=Hp,
+            Wp=Wp,
+            Hr=Hr,
+            Wr=Wr,
+            Yr=Yr,
+            Xr=Xr,
+            nk=nk,
+            cap_weight=cap_weight,
+            line_mode=(mode == "line"),
+        )
 
     new_tsdf, new_weight, miss = pl.pallas_call(
         kern,
@@ -598,7 +777,7 @@ def integrate_pallas(
 
 @partial(
     jax.jit,
-    static_argnames=("cap_weight", "nk", "interpret"),
+    static_argnames=("cap_weight", "nk", "interpret", "return_mask"),
 )
 def integrate_warped_pallas(
     vol: TSDFVolume,
@@ -607,20 +786,26 @@ def integrate_warped_pallas(
     cap_weight: bool = False,
     nk: int = 5,
     interpret: bool = False,
+    return_mask: bool = False,
 ) -> tuple[TSDFVolume, jnp.ndarray]:
     """Fuse one depth frame into a DEFORMED volume with the warped
     line-sweep kernel (non-rigid path; ref: deformed-centre integrate
     src/TSDF/TSDFVolume.cu:337-343).
 
     Exact-or-skip: a voxel whose warped projection falls outside the nk
-    candidate columns around its undeformed lattice line is skipped and
-    counted. Vertical (image-y) warp displacement is unbounded; the
-    horizontal budget is ~(nk-1)/2 pixels, so nk should exceed twice the
-    worst per-voxel x-displacement in pixels (~ fx * |warp_x| / depth).
-    Callers escalate nk or fall back to ops.integrate on misses (see
+    candidate columns around its column's band-shifted lattice line is
+    skipped and counted. Vertical (image-y) warp displacement is
+    unbounded, and the horizontal window base adapts per voxel column
+    (the mid-range of the column's actual pixel deviations), so a
+    smooth or uniform x-warp of ANY magnitude is exact (dual-band
+    window, see _kernel_warped); only voxels whose deviation falls
+    between the background and deformed modes are skipped and counted.
+    Callers pass ``return_mask=True`` and hand the per-voxel miss mask
+    to ``warped_miss_topup``, which fuses EXACTLY the missed voxels —
+    so no frame ever needs the full-volume lax fallback (see
     pipelines/scenefusion.py).
 
-    Returns (updated volume, miss count).
+    Returns (updated volume, miss count[, miss mask f32 (Z, Y, X)]).
     """
     if vol.deform is None:
         raise ValueError(
@@ -668,12 +853,13 @@ def integrate_warped_pallas(
     vol_spec = pl.BlockSpec(
         (1, Y, BX), lambda z, xb: (z, 0, xb), memory_space=pltpu.VMEM
     )
-    new_tsdf, new_weight, miss = pl.pallas_call(
+    new_tsdf, new_weight, miss, mask = pl.pallas_call(
         kern,
         out_shape=(
             jax.ShapeDtypeStruct((Z, Y, X), vol.tsdf.dtype),
             jax.ShapeDtypeStruct((Z, Y, X), vol.weight.dtype),
             jax.ShapeDtypeStruct((Z, n_xb, 8, _LANE), jnp.int32),
+            jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
         ),
         grid=(Z, n_xb),
         in_specs=[
@@ -689,17 +875,131 @@ def integrate_warped_pallas(
                 lambda z, xb: (z, xb, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            vol_spec,
         ),
         interpret=interpret,
+        # the dual-band window doubles the pass-1 tmps: ~30 MB of
+        # scoped vmem at 512^3, past the conservative 16 MB default
+        # (v5e VMEM is 128 MB; same cure as the pose adjoint)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
     )(params, depth_f, tsdf, weight, dx, dy, dz)
 
     if (Y, X) != (Yr, Xr):
         new_tsdf = new_tsdf[:, :Yr, :Xr]
         new_weight = new_weight[:, :Yr, :Xr]
+        mask = mask[:, :Yr, :Xr]
 
+    out_vol = vol.replace(tsdf=new_tsdf, weight=new_weight)
+    miss_total = jnp.sum(miss[:, :, 0, 0])
+    if return_mask:
+        return out_vol, miss_total, mask
+    return out_vol, miss_total
+
+
+@partial(jax.jit, static_argnames=("cap_weight", "max_topup"))
+def warped_miss_topup(
+    vol: TSDFVolume,
+    mask: jnp.ndarray,
+    depth: jnp.ndarray,
+    camera: Camera,
+    cap_weight: bool = False,
+    max_topup: int = 1 << 16,
+) -> tuple[TSDFVolume, jnp.ndarray]:
+    """Fuse exactly the voxels the warped kernel skipped (round 4).
+
+    ``vol`` is the kernel's OUTPUT volume and ``mask`` its per-voxel
+    miss mask (integrate_warped_pallas(return_mask=True)): each masked
+    voxel received no observation, so its update is the plain running
+    mean with ONE observation — no volume-state gathers are needed,
+    only the voxel's deformed centre (3 channels) and one depth pixel.
+    All data movement runs through the sorted matmul gather/scatter
+    (ops/scatter.py), never the XLA gather lowering:
+
+      1. one (mask, index) sort compacts the first ``max_topup`` missed
+         voxel ids (ascending);
+      2. gather_flat pulls their deformed centres and the projected
+         depth pixels;
+      3. scatter_add_flat lands (observation, count) per voxel and an
+         elementwise merge applies the running mean.
+
+    Exactness: identical update math and gates as the kernel
+    (projection of the deformed centre, round-to-pixel, depth > 0,
+    sdf >= -trunc, Zc > 0). Intended use: the caller reads the miss
+    count (one host sync it already does) and invokes this only on
+    frames with misses — a zero-miss frame costs nothing.
+
+    Returns (volume, remaining): ``remaining`` > 0 only when misses
+    exceeded ``max_topup`` (fall back to ops.integrate then).
+    """
+    Z, Yr, Xr = vol.tsdf.shape
+    Hr, Wr = depth.shape
+    N = Z * Yr * Xr
+    K = int(max_topup)
+
+    from ..ops.scatter import gather_flat, scatter_add_flat
+
+    flat = mask.reshape(-1).astype(jnp.float32)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    keys, sidx = jax.lax.sort([1.0 - flat, idx], num_keys=1)
+    ids = sidx[:K]
+    is_miss = keys[:K] < 0.5
+
+    # deformed world centres of the candidates (one 3-channel gather)
+    dc = gather_flat(vol.deform.reshape(-1, 3), ids)  # (K, 3)
+    pi = camera.pose_inv
+    kmat = camera.k
+    fx, fy, cx, cy = kmat[0, 0], kmat[1, 1], kmat[0, 2], kmat[1, 2]
+    wx, wy, wz = dc[:, 0], dc[:, 1], dc[:, 2]
+    Xc = pi[0, 0] * wx + pi[0, 1] * wy + pi[0, 2] * wz + pi[0, 3]
+    Yc = pi[1, 0] * wx + pi[1, 1] * wy + pi[1, 2] * wz + pi[1, 3]
+    Zc = pi[2, 0] * wx + pi[2, 1] * wy + pi[2, 2] * wz + pi[2, 3]
+    safe_z = jnp.where(Zc == 0.0, 1e-12, Zc)
+    px = fx * Xc / safe_z + cx
+    py = fy * Yc / safe_z + cy
+    px = jnp.where(jnp.isfinite(px), px, -1.0)
+    py = jnp.where(jnp.isfinite(py), py, -1.0)
+    pxr = jnp.round(px).astype(jnp.int32)
+    pyr = jnp.round(py).astype(jnp.int32)
+    in_img = (
+        is_miss
+        & (pxr >= 0) & (pxr < Wr) & (pyr >= 0) & (pyr < Hr)
+        & (Zc > 0.0)
+    )
+    lin_pix = jnp.where(in_img, pyr * Wr + pxr, Hr * Wr)
+    dval = gather_flat(
+        jnp.asarray(depth, jnp.float32).reshape(-1), lin_pix,
+        fill_mode="zero",
+    )
+
+    trunc = vol.truncation_distance
+    sdf = dval - Zc
+    update = in_img & (dval > 0.0) & (sdf >= -trunc)
+    obs = jnp.minimum(sdf, trunc)
+    targets = jnp.where(update, ids, N)  # off-the-end drop
+    acc = scatter_add_flat(
+        N, targets,
+        jnp.stack([jnp.where(update, obs, 0.0),
+                   update.astype(jnp.float32)]),
+    )  # (2, N)
+    obs_sum = acc[0].reshape(Z, Yr, Xr)
+    cnt = acc[1].reshape(Z, Yr, Xr)
+
+    d = vol.tsdf.astype(jnp.float32)
+    w = vol.weight.astype(jnp.float32)
+    new_w = w + cnt
+    new_d = jnp.where(cnt > 0.0, (d * w + obs_sum) / new_w, d)
+    if cap_weight:
+        new_w = jnp.minimum(new_w, vol.max_weight)
+    remaining = (jnp.sum(flat) - jnp.sum(is_miss.astype(jnp.float32))
+                 ).astype(jnp.int32)
     return (
-        vol.replace(tsdf=new_tsdf, weight=new_weight),
-        jnp.sum(miss[:, :, 0, 0]),
+        vol.replace(
+            tsdf=new_d.astype(vol.tsdf.dtype),
+            weight=new_w.astype(vol.weight.dtype),
+        ),
+        remaining,
     )
 
 

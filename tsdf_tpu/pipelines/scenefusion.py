@@ -58,20 +58,24 @@ class SceneFusionConfig:
     max_cubes: int = 1 << 18
     max_vertices: int = 1 << 20
     # TPU path for the deformed-volume integrate: the warped line-sweep
-    # kernel (kernels/integrate.py:integrate_warped_pallas). nk bounds
-    # the tolerated horizontal warp in pixels (~(nk-1)/2); frames whose
-    # exact-or-skip miss counter fires fall back to the lax path so no
-    # observation is ever lost.
+    # kernel (kernels/integrate.py:integrate_warped_pallas). The window
+    # base adapts per voxel column (round-4 banded window), so smooth /
+    # uniform x-warps of any magnitude are exact; nk bounds only the
+    # warp's pixel VARIATION within one voxel column (range <= nk - 1).
+    # Frames whose exact-or-skip miss counter still fires fall back to
+    # the lax path so no observation is ever lost.
     use_pallas: bool = True
     integrate_nk: int = 5
     # AOT-compile the use_chunked=False overflow-fallback step variant
-    # before the first frame (lower+compile, no execution). The first
-    # chunk-cap overflow otherwise traces and remote-compiles a second
-    # full fused-step graph MID-RUN — with an RGBD observer attached,
-    # frames back up for the (erratic, seconds-to-minutes) compile.
-    # Off by default: it costs one extra upfront compile even for runs
-    # that never overflow.
-    prewarm_fallback: bool = False
+    # in a BACKGROUND thread after the first frame's compile (lower +
+    # compile, no execution; the remote compile is an HTTP wait, so the
+    # fusion loop keeps running). The first chunk-cap overflow otherwise
+    # traces and remote-compiles a second full fused-step graph MID-RUN
+    # — with an RGBD observer attached, frames back up for the
+    # (erratic, seconds-to-minutes) compile. On by default since
+    # round 4 (the compile is cached across runs; the only cost is one
+    # background compile the first time).
+    prewarm_fallback: bool = True
 
     def make_volume(self) -> TSDFVolume:
         return make_volume(
@@ -400,10 +404,12 @@ def _sf_step_pallas(
     tracked KinectFusion from 83 to 36.6 ms/frame through the remote
     tunnel; ref loop: SceneFusion.cpp:84-185).
 
-    Returns (volume, integrate-miss count, correspondence count,
-    extraction-overflow flag). A non-zero miss means the accumulated
-    warp exceeded the kernel's horizontal pixel budget for some voxel;
-    the caller re-runs the integrate through the lax path. A set
+    Returns (volume, integrate-miss count, miss mask, correspondence
+    count, extraction-overflow flag). A non-zero miss means some
+    voxel's warp deviation fell outside the kernel's dual-band window;
+    the caller hands the mask to ``warped_miss_topup`` (kernels/
+    integrate.py), which fuses exactly those voxels — the full-volume
+    lax fallback is needed only if misses exceed the top-up cap. A set
     overflow means the chunked compaction's active-chunk cap (or
     max_cubes itself) truncated the mesh; the caller re-runs the frame
     with ``use_chunked=False`` (exact-or-skip — no observation is ever
@@ -440,10 +446,11 @@ def _sf_step_pallas(
         vol, n_corr = update_deformation(
             vol, soup, depth, camera, flow, threshold_mm, tpu_safe=False
         )
-    out, miss = integrate_warped_pallas(
-        vol, depth, camera, nk=nk, interpret=not tpu_safe
+    out, miss, mask = integrate_warped_pallas(
+        vol, depth, camera, nk=nk, interpret=not tpu_safe,
+        return_mask=True,
     )
-    return out, miss, n_corr, soup.overflowed
+    return out, miss, mask, n_corr, soup.overflowed
 
 
 class SceneFusion:
@@ -519,9 +526,15 @@ class SceneFusion:
             if cfg.prewarm_fallback and not self._fallback_warmed:
                 # AOT lower+compile (no execution) of the overflow
                 # fallback so a mid-run chunk-cap overflow swaps to an
-                # already-compiled graph instead of stalling the loop
+                # already-compiled graph instead of stalling the loop.
+                # Runs on a daemon thread: the compile is a remote HTTP
+                # wait here, so the fusion loop proceeds while it
+                # drains. The result lands in the persistent compile
+                # cache (enable jax_compilation_cache_dir!), so the
+                # mid-run overflow call pays tracing + a disk cache hit
+                # instead of the full remote compile.
                 self._fallback_warmed = True
-                _sf_step_pallas.lower(
+                lowered = _sf_step_pallas.lower(
                     self.volume,
                     jnp.asarray(depth, jnp.float32),
                     jnp.asarray(flow, jnp.float32),
@@ -531,8 +544,13 @@ class SceneFusion:
                     threshold_mm=cfg.threshold_mm,
                     tpu_safe=tpu_safe,
                     use_chunked=False,
-                ).compile()
-            vol, miss, _n, overflow = _sf_step_pallas(
+                )
+                import threading
+
+                threading.Thread(
+                    target=lowered.compile, daemon=True
+                ).start()
+            vol, miss, mask, _n, overflow = _sf_step_pallas(
                 self.volume,
                 jnp.asarray(depth, jnp.float32),
                 jnp.asarray(flow, jnp.float32),
@@ -550,7 +568,7 @@ class SceneFusion:
                 # The chunked compaction's active-chunk cap truncated
                 # the mesh: redo the frame through the full-volume sort
                 # compaction (slower, but its only cap is max_cubes).
-                vol, miss, _n, overflow = _sf_step_pallas(
+                vol, miss, mask, _n, overflow = _sf_step_pallas(
                     self.volume,
                     jnp.asarray(depth, jnp.float32),
                     jnp.asarray(flow, jnp.float32),
@@ -575,14 +593,27 @@ class SceneFusion:
             if int(miss_h) == 0:
                 self.volume = vol
             else:
-                # integrate skipped voxels: redo through the lax path on
-                # the post-deformation volume (deform is untouched by
-                # the integrate, so it can be lifted off the step output)
-                self.volume = integrate(
-                    self.volume.replace(deform=vol.deform),
-                    depth,
+                # fuse exactly the skipped voxels through the sorted
+                # matmul gather/scatter top-up — no full-volume lax
+                # fallback unless misses exceed the top-up cap
+                from ..kernels.integrate import warped_miss_topup
+
+                vol2, remaining = warped_miss_topup(
+                    vol, mask, jnp.asarray(depth, jnp.float32),
                     self.camera,
                 )
+                if int(remaining) == 0:
+                    self.volume = vol2
+                else:
+                    # truly pathological frame: redo through the lax
+                    # path on the post-deformation volume (deform is
+                    # untouched by the integrate, so it can be lifted
+                    # off the step output)
+                    self.volume = integrate(
+                        self.volume.replace(deform=vol.deform),
+                        depth,
+                        self.camera,
+                    )
         elif self.last_depth is not None:
             _t, _r, flow = self.sfa.compute_scene_flow(depth, colour)
             soup = extract_surface(
@@ -612,15 +643,24 @@ class SceneFusion:
         warps can exceed the kernel's horizontal pixel budget)."""
         cfg = self.config
         if cfg.use_pallas:
-            from ..kernels.integrate import integrate_warped_pallas
+            from ..kernels.integrate import (
+                integrate_warped_pallas,
+                warped_miss_topup,
+            )
 
             interpret = jax.default_backend() != "tpu"
-            out, miss = integrate_warped_pallas(
+            out, miss, mask = integrate_warped_pallas(
                 self.volume, depth, self.camera,
                 nk=cfg.integrate_nk, interpret=interpret,
+                return_mask=True,
             )
             if int(miss) == 0:
                 return out
+            out2, remaining = warped_miss_topup(
+                out, mask, jnp.asarray(depth, jnp.float32), self.camera
+            )
+            if int(remaining) == 0:
+                return out2
         return integrate(self.volume, depth, self.camera)
 
     def dump(self, index: int) -> None:
