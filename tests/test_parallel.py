@@ -94,7 +94,10 @@ def test_raycast_sharded_matches_single(mesh):
 
     verts_ref, normals_ref = raycast(vol, cam, width=64, height=48)
     svol = shard_volume(vol, mesh)
-    verts, normals = raycast_sharded(svol, cam, mesh, width=64, height=48)
+    verts, normals = raycast_sharded(
+        svol, cam, mesh, width=64, height=48,
+        replicate_volume_ok=True,
+    )
 
     np.testing.assert_allclose(
         np.asarray(verts), np.asarray(verts_ref), rtol=0, atol=1e-2

@@ -109,10 +109,14 @@ def test_tracked_fusion_on_mesh_matches_single(mesh):
         svol, cams[0], frames, mesh, width=W, height=H
     )
     for pm, pr in zip(poses_mesh, poses_ref):
-        # trajectories agree: translation within 2 mm, rotation tight
+        # trajectories agree: translation within 2 mm, rotation within
+        # ~0.1 deg — the sharded loop's model render is the brick-local
+        # slab sweep (round 4; the volume-replicating lax march is
+        # opt-in), whose sub-voxel vertex differences shift the ICP fit
+        # slightly more than the old all_gather path did
         np.testing.assert_allclose(
             np.asarray(pm)[:3, 3], np.asarray(pr)[:3, 3], atol=2.0
         )
         np.testing.assert_allclose(
-            np.asarray(pm)[:3, :3], np.asarray(pr)[:3, :3], atol=1e-3
+            np.asarray(pm)[:3, :3], np.asarray(pr)[:3, :3], atol=3e-3
         )
