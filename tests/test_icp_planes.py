@@ -137,3 +137,27 @@ def test_normal_map_planes_match_naive(shape):
         jnp.stack([vx, vy, vz], axis=-1)
     )
     np.testing.assert_array_equal(np.asarray(stacked), got)
+
+
+def test_kinect_noise_model():
+    """The noise fixture corrupts plausibly: quantized to 0.2mm, zeros
+    preserved, shadows at edges, bounded axial noise."""
+    import jax
+
+    from tsdf_tpu.utils.fixtures import kinect_noise, sphere_depth_map
+
+    clean = jnp.asarray(
+        sphere_depth_map(64, 48, 20.0, 800.0, 1200.0), jnp.float32
+    )
+    noisy = np.asarray(kinect_noise(clean, jax.random.PRNGKey(7)))
+    clean_np = np.asarray(clean)
+    # quantization grid
+    assert np.allclose(noisy * 5.0, np.round(noisy * 5.0), atol=1e-3)
+    # invalid stays invalid
+    assert (noisy[clean_np == 0] == 0).all()
+    # some shadow/salt dropouts appeared
+    assert (noisy[clean_np > 0] == 0).any()
+    # axial noise bounded: 8 sigma at the far plane
+    live = (clean_np > 0) & (noisy > 0)
+    sigma_far = 1.425e-6 * 1200.0**2
+    assert np.abs(noisy[live] - clean_np[live]).max() < 8 * sigma_far + 0.3

@@ -11,7 +11,14 @@ sees realistic structure, then the estimated trajectory is scored with
 the TUM ATE/RPE metrics (utils/trajectory.py) against the generating
 poses.
 
-Run: PYTHONPATH=. timeout 570 python tools/run_config3.py [n_frames]
+``--noise`` applies the Kinect corruption model to every rendered frame
+(u16/TUM x5000 quantization, depth-dependent Gaussian noise, IR edge
+shadows, salt dropouts — utils/fixtures.py:kinect_noise) so the
+tracking numbers are comparable to real-sensor conditions (round-3
+verdict item 5; the reference's acceptance data is real TUM fr1,
+ref: Test_TSDF_Integration.cpp:30-43).
+
+Run: PYTHONPATH=. timeout 570 python tools/run_config3.py [n_frames] [--noise]
 """
 
 import sys
@@ -33,7 +40,9 @@ from tsdf_tpu.pipelines import FusionConfig, track_and_fuse_frames
 from tsdf_tpu.utils import fixtures
 from tsdf_tpu.utils.trajectory import ate, rpe
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+NOISE = "--noise" in sys.argv
+N = int(args[0]) if args else 500
 W, H = 640, 480
 GRID = 256
 
@@ -82,8 +91,21 @@ def depth_of_pose(pose):
 
 
 frames = [depth_of_pose(jnp.asarray(p)) for p in gt_poses]
+if NOISE:
+    from tsdf_tpu.utils.fixtures import kinect_noise
+
+    corrupt = jax.jit(kinect_noise)
+    key = jax.random.PRNGKey(42)
+    frames = [
+        corrupt(f, jax.random.fold_in(key, i))
+        for i, f in enumerate(frames)
+    ]
 sync(frames[-1])
-print(f"[config3] frames rendered in {time.time()-t0:.1f}s", flush=True)
+print(
+    f"[config3] frames rendered in {time.time()-t0:.1f}s"
+    f"{' (kinect noise applied)' if NOISE else ''}",
+    flush=True,
+)
 
 kvol = make_volume((GRID,) * 3, 3000.0, offset=(-1500.0, -1500.0, 0.0))
 cfg = FusionConfig(

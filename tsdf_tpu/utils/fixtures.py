@@ -92,3 +92,59 @@ def wall_depth_map(
     )
     depth = np.where(wall, wall_depth, max_depth)
     return np.clip(depth, min_depth, max_depth).astype(np.uint16)
+
+
+def kinect_noise(
+    depth: jnp.ndarray,
+    key,
+    sigma_scale: float = 1.425e-6,
+    edge_thresh_mm: float = 50.0,
+    shadow_px: int = 4,
+    dropout_frac: float = 0.002,
+) -> jnp.ndarray:
+    """Kinect-realistic corruption of a clean mm depth frame (round-3
+    verdict item 5: the synthetic acceptance workloads are noise-free,
+    overstating tracking robustness vs the reference's real TUM frames,
+    ref: Test_TSDF_Integration.cpp:30-43).
+
+    Models, in sensor order:
+      1. depth-dependent Gaussian noise: sigma_z = sigma_scale * z^2 mm
+         (Khoshelham & Elberink's Kinect axial model, ~3 mm at 1.5 m);
+      2. IR shadow dropouts: pixels within ``shadow_px`` on the
+         -x side of a strong depth discontinuity (> edge_thresh_mm)
+         report 0 (the projector is offset from the IR camera along x);
+      3. salt dropouts: ``dropout_frac`` random invalid pixels;
+      4. u16 storage quantization through the TUM x5000 round-trip:
+         u16 = round(z_m * 5000) -> z_mm = u16 * 0.2
+         (ref: TUMDataLoader.cpp:96-98).
+
+    Returns the corrupted (H, W) f32 mm frame (0 = invalid).
+    """
+    import jax
+
+    d = jnp.asarray(depth, jnp.float32)
+    h, w = d.shape
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0) if key is None else key)
+
+    valid = d > 0
+    # 1. axial noise
+    sigma = sigma_scale * d * d
+    d = jnp.where(valid, d + sigma * jax.random.normal(k1, d.shape), 0.0)
+
+    # 2. edge shadows: right-neighbour jump -> shadow extends shadow_px
+    # to the left of the nearer side
+    dx = jnp.abs(jnp.pad(d[:, 1:], ((0, 0), (0, 1))) - d)
+    edge = (dx > edge_thresh_mm) & valid
+    shadow = jnp.zeros_like(edge)
+    for s in range(shadow_px):
+        shifted = jnp.pad(edge[:, s:], ((0, 0), (0, s)))
+        shadow = shadow | shifted
+    d = jnp.where(shadow, 0.0, d)
+
+    # 3. salt dropouts
+    drop = jax.random.uniform(k2, d.shape) < dropout_frac
+    d = jnp.where(drop, 0.0, d)
+
+    # 4. TUM u16 x5000 round-trip (0.2 mm quantization, 13.1 m cap)
+    u16 = jnp.clip(jnp.round(d * 5.0), 0, 65535)
+    return (u16 * 0.2).astype(jnp.float32)
