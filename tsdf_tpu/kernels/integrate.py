@@ -551,40 +551,58 @@ def _kernel_warped(
         (pxr >= 0) & (pxr < Wr) & (pyr >= 0) & (pyr < Hr) & vox_valid
     )
 
-    # --- per-column deformed-mode shift ----------------------------------
+    # --- per-column linear deformed-mode band ----------------------------
     # deviation of the warped column from the rigid line evaluated at
-    # the warped row (columns run along voxel y = sublanes); the
-    # deformed mode's shift is the mid-range over clearly-deformed
-    # voxels (|dev| >= 2 — rounding noise stays in the base window)
+    # the warped row (columns run along voxel y = sublanes). The
+    # deformed mode's deviation varies SMOOTHLY along a column (the
+    # pixel displacement of a ~constant mm warp scales with 1/Zc), so a
+    # constant shift leaves tens of pixels of within-column range on
+    # deep columns — fit dev ~ a + b*row per column (least squares over
+    # clearly-deformed voxels, |dev| >= 2; rounding noise stays in the
+    # base window) and shift the second band along that line.
     pyrT, c0r = _pass2_index(alpha, beta, pyr, Hp)
-    dev = pxr - c0r  # (Y, BX) int32
-    dev_ok = in_img & (jnp.abs(dev) >= 2)
-    big = jnp.int32(1 << 20)
-    dev_lo = jnp.min(
-        jnp.where(dev_ok, dev, big), axis=0, keepdims=True
+    dev = (pxr - c0r).astype(jnp.float32)  # (Y, BX)
+    dev_ok = in_img & (jnp.abs(dev) >= 2.0)
+    wgt = dev_ok.astype(jnp.float32)
+    rr = pyr.astype(jnp.float32)
+    n_ok = jnp.sum(wgt, axis=0, keepdims=True)
+    Sr = jnp.sum(wgt * rr, axis=0, keepdims=True)
+    Sd = jnp.sum(wgt * dev, axis=0, keepdims=True)
+    Srr = jnp.sum(wgt * rr * rr, axis=0, keepdims=True)
+    Srd = jnp.sum(wgt * rr * dev, axis=0, keepdims=True)
+    var = n_ok * Srr - Sr * Sr
+    b_fit = jnp.where(
+        var > 1e-3, (n_ok * Srd - Sr * Sd) / jnp.maximum(var, 1e-3), 0.0
     )
-    dev_hi = jnp.max(
-        jnp.where(dev_ok, dev, -big), axis=0, keepdims=True
+    b_fit = jnp.clip(b_fit, -8.0, 8.0)
+    a_fit = jnp.where(
+        n_ok > 0.0, (Sd - b_fit * Sr) / jnp.maximum(n_ok, 1.0), 0.0
     )
-    any_ok = jnp.any(dev_ok, axis=0, keepdims=True)
-    shift = jnp.where(
-        any_ok, (dev_lo + dev_hi) // 2, jnp.int32(0)
-    )  # (1, BX)
+    a_fit = jnp.clip(a_fit, -65536.0, 65536.0)
 
-    # --- pass 1: base window (rigid line) + shifted window ---------------
+    def band_shift(rows_f):
+        # IDENTICAL expression in both passes so the pass-1 table and
+        # the pass-2 match agree bit-for-bit at equal row values
+        return jnp.round(a_fit + b_fit * rows_f).astype(jnp.int32)
+
+    # --- pass 1: base window (rigid line) + linearly-shifted window ------
     c0p1 = _pass1_index(alpha, beta, Hp, BX)
+    y_img_f = jax.lax.broadcasted_iota(jnp.int32, (Hp, BX), 0).astype(
+        jnp.float32
+    )
     depth_full = depth_ref[...]
     tmps_base = _pass1_gather((depth_full,), c0p1, nk, BX, Hp, Wp)
     tmps_shift = _pass1_gather(
-        (depth_full,), c0p1 + shift, nk, BX, Hp, Wp
+        (depth_full,), c0p1 + band_shift(y_img_f), nk, BX, Hp, Wp
     )
 
     # --- pass 2 at the WARPED rows + exact-column select on both bands ---
+    shift_at = band_shift(rr)  # (Y, BX) at each voxel's warped row
     (val_b,), matched_b = _pass2_select(
         tmps_base, pyrT, pxr, c0r, nk, BX, Y, Hp
     )
     (val_s,), matched_s = _pass2_select(
-        tmps_shift, pyrT, pxr, c0r + shift, nk, BX, Y, Hp
+        tmps_shift, pyrT, pxr, c0r + shift_at, nk, BX, Y, Hp
     )
     depth_val = jnp.where(matched_b, val_b, val_s)
     matched = matched_b | matched_s
