@@ -63,7 +63,11 @@ _DEADLINE = [DEADLINE_S]  # effective; extended after the stall probe
 # vs_baseline (values from BENCH_BASELINE.json "sections"; these are
 # the fallbacks if that file predates the composite scheme).
 SECTION_KEYS = {
-    "integrate": [("integrate_ms", "lower", 22.7)],
+    "integrate": [
+        ("integrate_ms", "lower", 22.7),
+        # first measured round 4 (opt-in decimated mode): 7.44 ms
+        ("integrate_fast_ms", "lower", None),
+    ],
     "raycast": [("raycast_ms", "lower", 28.7)],
     "kinfu": [("kinfu_tracked_ms_256", "lower", 58.6)],
     "scenefusion": [("scenefusion_ms_255", "lower", 210.6)],
@@ -333,6 +337,23 @@ def main():
     assert float(jnp.sum(jnp.stack(misses))) == 0.0
     voxel_updates_per_s = grid**3 / dt_int
     _note(f"integrate done: {dt_int*1e3:.1f} ms")
+
+    # the opt-in decimated fast mode (lane-span compression, round 4):
+    # measured alongside the exact-convention headline, never replacing
+    # it (the convention is approximate by design)
+    try:
+        v, miss = integrate_pallas(vol, depth, camera, mode="fast")
+        _sync(v.weight)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            v, miss = integrate_pallas(v, depth, camera, mode="fast")
+        _sync(v.weight)
+        dt_fast = (time.perf_counter() - t0) / iters
+        _RESULT["aux"]["integrate_fast_ms"] = dt_fast * 1e3
+        _note(f"integrate fast done: {dt_fast*1e3:.1f} ms")
+        del v
+    except Exception as e:
+        _note(f"integrate fast failed: {type(e).__name__}: {e}")
 
     head_baseline, _ = _baseline_sections()
 

@@ -247,11 +247,12 @@ def _check_misses(miss_log, config: FusionConfig) -> None:
     if total:
         import warnings
 
-        if config.integrate_mode == "line":
+        if config.integrate_mode in ("line", "fast"):
             remedy = (
                 "FusionConfig(integrate_mode='exact', integrate_nk=5), "
-                "or use_pallas=False (ops.integrate) — line mode skips "
-                "columns steeper than |beta| = 1 (extreme camera roll)"
+                "or use_pallas=False (ops.integrate) — line/fast modes "
+                "skip columns steeper than |beta| = 1 (extreme camera "
+                "roll)"
             )
         elif config.integrate_nk < 3:
             remedy = "FusionConfig(integrate_nk=3)"
@@ -260,8 +261,11 @@ def _check_misses(miss_log, config: FusionConfig) -> None:
                 "FusionConfig(integrate_nk=5), or use_pallas=False "
                 "(ops.integrate) for extreme camera roll"
             )
-        # line mode always runs nk=1 (integrate_pallas overrides it)
-        eff_nk = 1 if config.integrate_mode == "line" else config.integrate_nk
+        # line/fast modes always run nk=1 (integrate_pallas overrides it)
+        eff_nk = (
+            1 if config.integrate_mode in ("line", "fast")
+            else config.integrate_nk
+        )
         warnings.warn(
             f"{total} voxel observations skipped by the line-warp "
             f"integrate (mode={config.integrate_mode}, nk={eff_nk}); "
