@@ -107,7 +107,7 @@ def test_scenefusion_255_full_spec():
         max_cubes=cfg.max_cubes, nk=cfg.integrate_nk,
         threshold_mm=cfg.threshold_mm, tpu_safe=True,
     )
-    miss_h, ovf_h, corr_h = jax.device_get((miss, n_corr, overflow))
+    miss_h, corr_h, ovf_h = jax.device_get((miss, n_corr, overflow))
     assert not bool(ovf_h), "extraction overflowed at the 255^3 default"
     assert int(corr_h) > 0, "no correspondences on the rendered frame"
     assert int(miss_h) == 0, f"{int(miss_h)} warped-integrate misses"
