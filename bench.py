@@ -513,96 +513,7 @@ def main():
         except Exception as e:
             failed("kinfu", e)
 
-    # Fused non-rigid SceneFusion frame (masked-soup extract ->
-    # matmul-scatter deformation update -> warped Pallas integrate, one
-    # jit) at the reference's 255^3 default (SceneFusion.cpp:49).
-    if section("scenefusion", 80):
-        try:
-            from tsdf_tpu.ops.raycast import render_to_depth_image
-            from tsdf_tpu.pipelines.scenefusion import (
-                SceneFusionConfig,
-                _sf_step_pallas,
-            )
 
-            sf_cfg = SceneFusionConfig()
-            sf_vol = fixtures.sphere_tsdf(
-                sf_cfg.make_volume(), 500.0, centre=(0.0, 0.0, 1300.0)
-            )
-            sf_cam = (
-                Camera.default_depth_camera()
-                .move_to([0.0, 0.0, 100.0])
-                .look_at([0.0, 0.0, 1300.0])
-            )
-            _note("scenefusion depth render")
-            sf_depth = jnp.asarray(
-                render_to_depth_image(
-                    sf_vol, sf_cam, width=width, height=height
-                ),
-                jnp.float32,
-            )
-            sf_flow = jnp.broadcast_to(
-                jnp.array([4.0, 0.0, 0.0], jnp.float32),
-                (height, width, 3),
-            )
-
-            def sf_fn(v):
-                out, _miss, _mask, _n, _ovf = _sf_step_pallas(
-                    v, sf_depth, sf_flow, sf_cam,
-                    max_cubes=sf_cfg.max_cubes, nk=sf_cfg.integrate_nk,
-                    threshold_mm=sf_cfg.threshold_mm,
-                    tpu_safe=jax.default_backend() == "tpu",
-                )
-                return out
-
-            _note("scenefusion warmup/compile")
-            sf_times = []
-            v3 = sf_fn(sf_vol)
-            _sync(v3.tsdf)
-            for _ in range(5):
-                t0 = time.perf_counter()
-                v3 = sf_fn(v3)
-                _sync(v3.tsdf)
-                sf_times.append(time.perf_counter() - t0)
-            _RESULT["aux"]["scenefusion_ms_255"] = (
-                float(np.median(sf_times)) * 1e3
-            )
-            _note(f"scenefusion done: {np.median(sf_times)*1e3:.1f} ms")
-        except Exception as e:
-            failed("scenefusion", e)
-
-    # Non-rigid warped integrate at the HEADLINE grid (512^3): the
-    # dual-band warped kernel + deform field at production scale
-    # (round-3 verdict item 4 asked for a 512^3 non-rigid number).
-    if section("scenefusion-512", 60):
-        try:
-            from tsdf_tpu.kernels.integrate import integrate_warped_pallas
-
-            wvol = make_volume(
-                (grid,) * 3, 3000.0, offset=(-1500.0, -1500.0, 0.0),
-                with_deformation=True,
-            )
-            # large uniform warp: the dual-band window's exact case
-            wvol = wvol.replace(
-                deform=wvol.deform
-                + jnp.array([80.0, 0.0, 0.0], jnp.float32)
-            )
-
-            def warped_fn(v):
-                out, miss, _mask = integrate_warped_pallas(
-                    v, depth, camera, nk=5, return_mask=True
-                )
-                return out.weight
-
-            _note("warped-integrate-512 warmup/compile")
-            dt_warp = _bench(warped_fn, wvol, iters=5)
-            _RESULT["aux"]["integrate_warped_ms_512"] = dt_warp * 1e3
-            _note(f"warped integrate 512 done: {dt_warp*1e3:.1f} ms")
-            # free ~2.6 GB (tsdf+weight+deform at 512^3): later
-            # sections each allocate their own 512^3 volumes and the
-            # chip OOMs if every section's state stays alive
-            del wvol
-        except Exception as e:
-            failed("scenefusion-512", e)
 
     # Differentiable-fusion backward: the analytic pose adjoint (three
     # tables through the shared line-warp lookup) at the headline grid.
@@ -695,6 +606,101 @@ def main():
             )
         except Exception as e:
             failed("bilateral", e)
+
+    # The two SceneFusion sections run LAST: the fused step's
+    # per-process warm-start alone is ~130 s (cache-hit executable
+    # load, see BASELINE.md) — after a large first-op stall the cheap
+    # sections above must not be starved behind it.
+    # Non-rigid warped integrate at the HEADLINE grid (512^3): the
+    # dual-band warped kernel + deform field at production scale
+    # (round-3 verdict item 4 asked for a 512^3 non-rigid number).
+    if section("scenefusion-512", 60):
+        try:
+            from tsdf_tpu.kernels.integrate import integrate_warped_pallas
+
+            wvol = make_volume(
+                (grid,) * 3, 3000.0, offset=(-1500.0, -1500.0, 0.0),
+                with_deformation=True,
+            )
+            # large uniform warp: the dual-band window's exact case
+            wvol = wvol.replace(
+                deform=wvol.deform
+                + jnp.array([80.0, 0.0, 0.0], jnp.float32)
+            )
+
+            def warped_fn(v):
+                out, miss, _mask = integrate_warped_pallas(
+                    v, depth, camera, nk=5, return_mask=True
+                )
+                return out.weight
+
+            _note("warped-integrate-512 warmup/compile")
+            dt_warp = _bench(warped_fn, wvol, iters=5)
+            _RESULT["aux"]["integrate_warped_ms_512"] = dt_warp * 1e3
+            _note(f"warped integrate 512 done: {dt_warp*1e3:.1f} ms")
+            # free ~2.6 GB (tsdf+weight+deform at 512^3): later
+            # sections each allocate their own 512^3 volumes and the
+            # chip OOMs if every section's state stays alive
+            del wvol
+        except Exception as e:
+            failed("scenefusion-512", e)
+
+    # Fused non-rigid SceneFusion frame (masked-soup extract ->
+    # matmul-scatter deformation update -> warped Pallas integrate, one
+    # jit) at the reference's 255^3 default (SceneFusion.cpp:49).
+    if section("scenefusion", 150):
+        try:
+            from tsdf_tpu.ops.raycast import render_to_depth_image
+            from tsdf_tpu.pipelines.scenefusion import (
+                SceneFusionConfig,
+                _sf_step_pallas,
+            )
+
+            sf_cfg = SceneFusionConfig()
+            sf_vol = fixtures.sphere_tsdf(
+                sf_cfg.make_volume(), 500.0, centre=(0.0, 0.0, 1300.0)
+            )
+            sf_cam = (
+                Camera.default_depth_camera()
+                .move_to([0.0, 0.0, 100.0])
+                .look_at([0.0, 0.0, 1300.0])
+            )
+            _note("scenefusion depth render")
+            sf_depth = jnp.asarray(
+                render_to_depth_image(
+                    sf_vol, sf_cam, width=width, height=height
+                ),
+                jnp.float32,
+            )
+            sf_flow = jnp.broadcast_to(
+                jnp.array([4.0, 0.0, 0.0], jnp.float32),
+                (height, width, 3),
+            )
+
+            def sf_fn(v):
+                out, _miss, _mask, _n, _ovf = _sf_step_pallas(
+                    v, sf_depth, sf_flow, sf_cam,
+                    max_cubes=sf_cfg.max_cubes, nk=sf_cfg.integrate_nk,
+                    threshold_mm=sf_cfg.threshold_mm,
+                    tpu_safe=jax.default_backend() == "tpu",
+                )
+                return out
+
+            _note("scenefusion warmup/compile")
+            sf_times = []
+            v3 = sf_fn(sf_vol)
+            _sync(v3.tsdf)
+            for _ in range(5):
+                t0 = time.perf_counter()
+                v3 = sf_fn(v3)
+                _sync(v3.tsdf)
+                sf_times.append(time.perf_counter() - t0)
+            _RESULT["aux"]["scenefusion_ms_255"] = (
+                float(np.median(sf_times)) * 1e3
+            )
+            _note(f"scenefusion done: {np.median(sf_times)*1e3:.1f} ms")
+        except Exception as e:
+            failed("scenefusion", e)
 
     _emit()
 
