@@ -7,8 +7,11 @@ update (new), and the warped Pallas integrate.
 Run: PYTHONPATH=. timeout 1700 python tools/probe_sf_pieces.py
 """
 
+import sys
 import time
 from functools import partial
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 import jax
 
