@@ -322,6 +322,13 @@ def _cube_corner_scatter(
         jnp.concatenate(payload, axis=0),
         is_sorted="trusted",
         fold_offsets=tuple(offs),
+        # round-4 on-chip sweep (tools/tpu_logs + BASELINE.md): the
+        # walk's per-window cost scales with window x rows_per_patch
+        # (one-hot build), so for this ~47k-live-cube stream the
+        # optimum sits at small windows — 57 ms at the (2048, 256)
+        # default vs ~35 ms here (broad plateau over 256-512 x 128)
+        window=512,
+        rows_per_patch=128,
     )  # (D, n_vox)
 
 
