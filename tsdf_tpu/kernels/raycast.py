@@ -56,6 +56,13 @@ from .gather import lane_gather_op
 _BIG = 1.0e6
 _NO_HIT = -1.0e30
 
+# Slabs batched per sweep-loop iteration: both gather passes concat K
+# slabs into one lane-gather call each way, so K amortizes per-call and
+# loop overhead. Round-4 on-chip A/B at 512^3: K=4 and K=8 are a wash
+# (within tunnel noise), K=2 and K=16 are ~10-20% worse — kept at 4.
+# Module-level so probes can A/B it.
+_K_SLABS = 4
+
 # state codes
 _S_NOPREV = 0.0
 _S_MARCH = 1.0
@@ -116,7 +123,7 @@ def _sweep_bricks(
     once every ray is resolved; ``any_alive`` aggregates the liveness
     mask (the sharded path psums it so all devices stop together)."""
     H, W = height, width
-    K_default = 4
+    K_default = _K_SLABS
 
     # Per-pixel ray fields. ``y0``: first image row of this ray tile
     # (row-sharded rays; traced ok).
