@@ -678,9 +678,13 @@ def main():
             )
 
             def sf_fn(v):
+                # the pipeline's first-rung cap (see SceneFusionConfig
+                # .max_cubes_fast): static-cap-bound streams make this
+                # ~20% faster than the ceiling at the default scene
                 out, _miss, _mask, _n, _ovf = _sf_step_pallas(
                     v, sf_depth, sf_flow, sf_cam,
-                    max_cubes=sf_cfg.max_cubes, nk=sf_cfg.integrate_nk,
+                    max_cubes=min(sf_cfg.max_cubes_fast, sf_cfg.max_cubes),
+                    nk=sf_cfg.integrate_nk,
                     threshold_mm=sf_cfg.threshold_mm,
                     tpu_safe=jax.default_backend() == "tpu",
                 )

@@ -447,3 +447,65 @@ def test_scenefusion_prewarm_fallback(tmp_path):
     assert sf.frame_index == 2
     assert sf._fallback_warmed
     assert float(jnp.sum(sf.volume.weight)) > 0
+
+
+def test_cap_ladder_escalates_on_overflow():
+    """A tiny max_cubes_fast overflows; the pipeline escalates to the
+    max_cubes ceiling and the result matches a run without the ladder
+    (round-4 cap ladder; overflow never truncates)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tsdf_tpu import Camera
+    from tsdf_tpu.pipelines.scenefusion import (
+        SceneFusion,
+        SceneFusionConfig,
+    )
+    from tsdf_tpu.utils import fixtures
+
+    class _Flow:
+        def init(self):
+            return None
+
+        def compute_scene_flow(self, depth, colour):
+            h, w = depth.shape
+            return None, None, jnp.broadcast_to(
+                jnp.array([5.0, 0.0, 0.0], jnp.float32), (h, w, 3)
+            )
+
+    class _Device:
+        def add_observer(self, cb):
+            pass
+
+    def run(cfg):
+        vol = fixtures.sphere_tsdf(
+            cfg.make_volume(), 400.0, centre=(0.0, 0.0, 1000.0)
+        )
+        cam = (
+            Camera.from_intrinsics(147.8, 147.5, 40.0, 30.0)
+            .move_to([0.0, 0.0, 100.0])
+            .look_at([0.0, 0.0, 1000.0])
+        )
+        sf = SceneFusion(_Flow(), device=_Device(), config=cfg, camera=cam)
+        sf.volume = vol
+        depth = fixtures.sphere_depth_map(80, 60, 25.0, 600.0, 1400.0)
+        sf.process_frames(depth)  # first frame: plain integrate
+        sf.process_frames(depth)  # second: the fused step + ladder
+        return sf.volume
+
+    base = SceneFusionConfig(
+        volume_size=(48,) * 3, physical_size_mm=2000.0,
+        offset_mm=(-1000.0, -1000.0, 0.0),
+        max_cubes=1 << 13, max_cubes_fast=1 << 13,
+        prewarm_fallback=False,
+    )
+    ref = run(base)
+    laddered = dataclasses.replace(base, max_cubes_fast=64)  # overflows
+    got = run(laddered)
+    np.testing.assert_allclose(
+        np.asarray(got.tsdf), np.asarray(ref.tsdf), rtol=0, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.deform), np.asarray(ref.deform), rtol=0, atol=1e-4
+    )

@@ -57,6 +57,15 @@ class SceneFusionConfig:
     threshold_mm: float = CORRESPONDENCE_THRESHOLD_MM
     max_cubes: int = 1 << 18
     max_vertices: int = 1 << 20
+    # First-rung cube cap for the fused TPU step (round 4): the
+    # compaction streams, window walks and the order-restoring 262k
+    # lax.sort all scale with the STATIC cap, not the live cube count —
+    # measured 100.6 -> 80.0 ms/frame at the 255^3 default scene
+    # (47k live cubes) by capping at 1<<16. On overflow the frame is
+    # re-run at the ``max_cubes`` ceiling (one extra cached compile),
+    # then through the unchunked exact fallback — nothing is ever
+    # truncated. Set equal to max_cubes to disable the ladder.
+    max_cubes_fast: int = 1 << 16
     # TPU path for the deformed-volume integrate: the warped line-sweep
     # kernel (kernels/integrate.py:integrate_warped_pallas). The window
     # base adapts per voxel column (round-4 banded window), so smooth /
@@ -557,12 +566,18 @@ class SceneFusion:
                 threading.Thread(
                     target=lowered.compile, daemon=True
                 ).start()
+            # Cap ladder (round 4): run at the fast cube cap first —
+            # the compaction streams and the order-restoring sort scale
+            # with the STATIC cap, not live cubes (100.6 -> 80.0 ms at
+            # the 255^3 default) — escalating on overflow to the
+            # max_cubes ceiling, then to the unchunked exact fallback.
+            fast_cap = min(cfg.max_cubes_fast, cfg.max_cubes)
             vol, miss, mask, _n, overflow = _sf_step_pallas(
                 self.volume,
                 jnp.asarray(depth, jnp.float32),
                 jnp.asarray(flow, jnp.float32),
                 self.camera,
-                max_cubes=cfg.max_cubes,
+                max_cubes=fast_cap,
                 nk=cfg.integrate_nk,
                 threshold_mm=cfg.threshold_mm,
                 tpu_safe=tpu_safe,
@@ -571,6 +586,18 @@ class SceneFusion:
             # through the remote tunnel costs a full round-trip, so the
             # miss/overflow pair must not sync twice
             miss_h, overflow_h = jax.device_get((miss, overflow))
+            if bool(overflow_h) and fast_cap < cfg.max_cubes:
+                vol, miss, mask, _n, overflow = _sf_step_pallas(
+                    self.volume,
+                    jnp.asarray(depth, jnp.float32),
+                    jnp.asarray(flow, jnp.float32),
+                    self.camera,
+                    max_cubes=cfg.max_cubes,
+                    nk=cfg.integrate_nk,
+                    threshold_mm=cfg.threshold_mm,
+                    tpu_safe=tpu_safe,
+                )
+                miss_h, overflow_h = jax.device_get((miss, overflow))
             if tpu_safe and bool(overflow_h):
                 # The chunked compaction's active-chunk cap truncated
                 # the mesh: redo the frame through the full-volume sort
