@@ -477,3 +477,49 @@ def test_fast_mode_decimated_convention():
     voxel = 2000.0 / 64
     assert d.mean() < 0.1 * voxel
     assert np.percentile(d, 99) < 0.5 * voxel
+
+
+def test_color_fast_mode_decimated_convention():
+    """Colour mode="fast": same decimated line convention on both
+    tables — >=99.9% identical update decisions, colour within ~1/255
+    on locally-smooth imagery."""
+    vol = make_volume(
+        (64,) * 3, 2000.0, offset=(-1000.0, -1000.0, 0.0),
+        with_color=True,
+    )
+    cam = (
+        Camera.default_depth_camera()
+        .move_to([400.0, -250.0, -600.0])
+        .look_at([-100.0, 150.0, 1200.0])
+    )
+    depth = jnp.asarray(
+        fixtures.sphere_depth_map(640, 480, 120.0, 800.0, 1600.0)
+    )
+    ys = np.arange(480)[:, None]
+    xs = np.arange(640)[None, :]
+    rgb = jnp.asarray(
+        np.stack(
+            [
+                np.broadcast_to(ys * 255 // 480, (480, 640)),
+                np.broadcast_to(xs * 255 // 640, (480, 640)),
+                (ys + xs) * 255 // 1120,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+    )
+    from tsdf_tpu.kernels.integrate import integrate_color_pallas
+
+    ref = integrate(vol, depth, cam, rgb=rgb)
+    out, miss = integrate_color_pallas(
+        vol, depth, rgb, cam, mode="fast", interpret=True
+    )
+    assert int(miss) == 0
+    rw, ow = np.asarray(ref.weight), np.asarray(out.weight)
+    assert (rw == ow).mean() > 0.999
+    both = (rw > 0) & (ow > 0)
+    d = np.abs(
+        np.asarray(ref.color, np.int32)[both]
+        - np.asarray(out.color, np.int32)[both]
+    )
+    assert d.mean() < 2.0
+    assert np.percentile(d, 99) <= 4

@@ -1082,6 +1082,8 @@ def _kernel_color(
     nk: int,
     cap_weight: bool,
     line_mode: bool = False,
+    dr: int = 0,  # fast mode: row/column decimation factors (0 = off;
+    dc: int = 0,  # Hp/Wp then carry the DECIMATED padded table dims)
 ):
     """Colour-fusing variant of ``_kernel``: the RGB frame rides a second
     table through the SHARED ``_pass1_gather``/``_pass2_select``/
@@ -1093,32 +1095,60 @@ def _kernel_color(
     are shared, so colour costs one extra gather per pass, not a second
     sweep. Blend semantics match ops/integrate.py's floored-rate colour
     path exactly (the capability the reference allocates but never
-    writes, ref: TSDFVolume.cu m_colours)."""
+    writes, ref: TSDFVolume.cu m_colours). ``dr``/``dc`` > 0 switch to
+    the decimated line convention of ``_kernel_fast`` (lane-span
+    compression; both tables ride the same decimated indices)."""
     pro = _rigid_prologue(params_ref, Y=Y, BX=BX, Yr=Yr, Xr=Xr, Hr=Hr, Wr=Wr)
     trunc, max_weight = pro["trunc"], pro["max_weight"]
     Zc, pxr, pyr, in_img = pro["Zc"], pro["pxr"], pro["pyr"], pro["in_img"]
     alpha, beta, vox_valid = pro["alpha"], pro["beta"], pro["vox_valid"]
 
-    # --- pass 1 over BOTH tables (shared index math) ----------------------
-    c0 = _pass1_index(alpha, beta, Hp, BX)
     depth_full = depth_ref[...]
     rgbp_full = rgbp_ref[...]
-    tmps = _pass1_gather((depth_full, rgbp_full), c0, nk, BX, Hp, Wp)
-
-    # --- pass 2 at the voxel rows + exact-column select -------------------
-    pyrT, c0r = _pass2_index(alpha, beta, pyr, Hp)
-
-    if line_mode:
+    if dr:
+        # decimated line convention (see _kernel_fast)
+        pyd = jnp.clip(pyr, 0, Hr - 1) // dr
+        y_img = jax.lax.broadcasted_iota(jnp.int32, (Hp, BX), 0).astype(
+            jnp.float32
+        )
+        c0 = jnp.round(
+            jnp.clip(alpha + beta * (y_img * dr), -_BIG, _BIG) / dc
+        ).astype(jnp.int32)
+        tmps = _pass1_gather((depth_full, rgbp_full), c0, 1, BX, Hp, Wp)
+        pyrT = pyd.T
+        c0r = jnp.round(
+            jnp.clip(
+                alpha + beta * (pyd.astype(jnp.float32) * dr),
+                -_BIG, _BIG,
+            )
+            / dc
+        ).astype(jnp.int32)
         pxr = c0r
         in_img = (
-            (c0r >= 0) & (c0r < Wr) & (pyr >= 0) & (pyr < Hr) & vox_valid
+            (pyr >= 0) & (pyr < Hr)
+            & (c0r * dc >= 0) & (c0r * dc < Wr)
+            & vox_valid
         )
+    else:
+        # --- pass 1 over BOTH tables (shared index math) ------------------
+        c0 = _pass1_index(alpha, beta, Hp, BX)
+        tmps = _pass1_gather((depth_full, rgbp_full), c0, nk, BX, Hp, Wp)
+
+        # --- pass 2 at the voxel rows + exact-column select ---------------
+        pyrT, c0r = _pass2_index(alpha, beta, pyr, Hp)
+
+        if line_mode:
+            pxr = c0r
+            in_img = (
+                (c0r >= 0) & (c0r < Wr) & (pyr >= 0) & (pyr < Hr)
+                & vox_valid
+            )
 
     (depth_val, rgb_val), matched = _pass2_select(
         tmps, pyrT, pxr, c0r, nk, BX, Y, Hp
     )
 
-    if line_mode:
+    if line_mode or dr:
         matched = matched & (jnp.abs(beta) <= 1.0)
 
     # --- TSDF + colour update (identical math to ops/integrate.py) -------
@@ -1183,13 +1213,20 @@ def integrate_color_pallas(
     two-pass gather, and colour blends with ops/integrate.py's
     floored-rate semantics (bit-equal u8 output). The lax colour path is
     a pathological XLA gather on TPU; this is the production colour
-    fusion.
+    fusion. ``mode="fast"`` applies the (2 x 4)-decimated line
+    convention to BOTH tables (see integrate_pallas): sub-voxel TSDF
+    error, and colour within ~1/255 on locally-smooth imagery (the
+    <= ~3 px resample picks a neighbouring pixel, so high-frequency
+    colour detail shifts accordingly — silhouette voxels can take the
+    other side's colour).
 
     Returns (updated volume, miss count).
     """
-    if mode not in ("exact", "line"):
-        raise ValueError(f"mode must be 'exact' or 'line', got {mode!r}")
-    if mode == "line":
+    if mode not in ("exact", "line", "fast"):
+        raise ValueError(
+            f"mode must be 'exact', 'line' or 'fast', got {mode!r}"
+        )
+    if mode in ("line", "fast"):
         nk = 1
     if vol.deform is not None:
         raise ValueError("integrate_color_pallas is the rigid path")
@@ -1216,7 +1253,19 @@ def integrate_color_pallas(
     rgbp = (
         rgb_f[..., 0] * 65536.0 + rgb_f[..., 1] * 256.0 + rgb_f[..., 2]
     )  # 24-bit packed: exact in f32
-    if (Hp, Wp) != (Hr, Wr):
+    dr = dc = 0
+    if mode == "fast":
+        # (dr x dc)-decimated tables: both ride the same decimated line
+        # indices (lane-span compression, see _kernel_fast)
+        dr, dc = 2, 4
+        depth_f = depth_f[::dr, ::dc]
+        rgbp = rgbp[::dr, ::dc]
+        Hd_r, Wd_r = depth_f.shape
+        Hp = _round_up(Hd_r, _LANE)
+        Wp = _round_up(Wd_r, _LANE)
+        depth_f = jnp.pad(depth_f, ((0, Hp - Hd_r), (0, Wp - Wd_r)))
+        rgbp = jnp.pad(rgbp, ((0, Hp - Hd_r), (0, Wp - Wd_r)))
+    elif (Hp, Wp) != (Hr, Wr):
         depth_f = jnp.pad(depth_f, ((0, Hp - Hr), (0, Wp - Wr)))
         rgbp = jnp.pad(rgbp, ((0, Hp - Hr), (0, Wp - Wr)))
 
@@ -1242,6 +1291,7 @@ def integrate_color_pallas(
         _kernel_color,
         Y=Y, BX=BX, Hp=Hp, Wp=Wp, Hr=Hr, Wr=Wr, Yr=Yr, Xr=Xr,
         nk=nk, cap_weight=cap_weight, line_mode=(mode == "line"),
+        dr=dr, dc=dc,
     )
 
     vol_spec = pl.BlockSpec(
