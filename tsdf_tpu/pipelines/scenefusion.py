@@ -48,6 +48,11 @@ from ..volume import TSDFVolume, make_volume
 # ref: SceneFusion_krnl.cu:15
 CORRESPONDENCE_THRESHOLD_MM = 10.0
 
+# Slot-correspondence walk block size: each block pays one gather_flat
+# (whose internal sort dominates; XLA:TPU sort cost is super-linear in
+# length). Module-level so probes can A/B it.
+_CORR_BLK = 1 << 16
+
 
 @dataclasses.dataclass(frozen=True)
 class SceneFusionConfig:
@@ -147,7 +152,7 @@ def _slot_correspondence(
         n_live = jnp.max(
             jnp.where(slot_valid, jnp.arange(N, dtype=jnp.int32) + 1, 0)
         )
-        BLK = 1 << 16
+        BLK = _CORR_BLK
         nb = -(-N // BLK)
         linp = jnp.pad(
             jnp.where(slot_valid, lin, img.shape[0]),
