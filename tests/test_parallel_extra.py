@@ -242,3 +242,107 @@ def test_integrate_pose_sharded_gradient_matches_single(mesh):
     np.testing.assert_allclose(
         np.asarray(g2), np.asarray(g1), rtol=1e-4, atol=1e-4
     )
+
+
+def test_warped_topup_sharded_closes_the_fallback(mesh):
+    """Per-brick top-up == lax integrate on the whole deformed volume
+    (round-4 parity: the sharded non-rigid path no longer needs the
+    lax-sharded fallback for exact-or-skip misses)."""
+    import jax.numpy as jnp
+
+    from tsdf_tpu import Camera, integrate, make_volume
+    from tsdf_tpu.parallel.ops import (
+        _integrate_warped_sharded_mask_jit,
+        shard_volume,
+        warped_topup_sharded,
+    )
+    from tsdf_tpu.utils import fixtures
+
+    vol = make_volume(
+        (32, 32, 32), 2000.0, offset=(-1000.0, -1000.0, 0.0),
+        with_deformation=True,
+    )
+    # pathological within-column x-warp: +-60mm alternating with voxel y
+    # cannot fit the dual-band window at nk=3 -> misses -> top-up
+    y = jnp.arange(32, dtype=jnp.float32)[None, :, None]
+    dx = 60.0 * jnp.where(y % 2 == 0, 1.0, -1.0)
+    disp = jnp.stack(
+        [
+            jnp.broadcast_to(dx, vol.deform.shape[:-1]),
+            jnp.zeros(vol.deform.shape[:-1]),
+            jnp.zeros(vol.deform.shape[:-1]),
+        ],
+        axis=-1,
+    )
+    vol = vol.replace(deform=vol.deform + disp)
+    cam = (
+        Camera.default_depth_camera()
+        .move_to([0.0, 0.0, -500.0])
+        .look_at([0.0, 0.0, 1000.0])
+    )
+    depth = jnp.asarray(
+        fixtures.sphere_depth_map(64, 48, 20.0, 800.0, 1200.0),
+        jnp.float32,
+    )
+    ref = integrate(vol, depth, cam)
+
+    svol = shard_volume(vol, mesh)
+    out, miss, mask = _integrate_warped_sharded_mask_jit(
+        svol, depth, cam, mesh=mesh, cap_weight=False, nk=3,
+        interpret=True,
+    )
+    assert int(miss) > 0
+    full, remaining = warped_topup_sharded(out, mask, depth, cam, mesh)
+    assert int(remaining) == 0
+    np.testing.assert_array_equal(
+        np.asarray(full.weight), np.asarray(ref.weight)
+    )
+    np.testing.assert_allclose(
+        np.asarray(full.tsdf), np.asarray(ref.tsdf), rtol=0, atol=5e-3
+    )
+
+
+def test_warped_topup_sharded_cap_reports_remaining(mesh):
+    import jax.numpy as jnp
+
+    from tsdf_tpu import Camera, make_volume
+    from tsdf_tpu.parallel.ops import (
+        _integrate_warped_sharded_mask_jit,
+        shard_volume,
+        warped_topup_sharded,
+    )
+    from tsdf_tpu.utils import fixtures
+
+    vol = make_volume(
+        (32, 32, 32), 2000.0, offset=(-1000.0, -1000.0, 0.0),
+        with_deformation=True,
+    )
+    y = jnp.arange(32, dtype=jnp.float32)[None, :, None]
+    dx = 60.0 * jnp.where(y % 2 == 0, 1.0, -1.0)
+    disp = jnp.stack(
+        [
+            jnp.broadcast_to(dx, vol.deform.shape[:-1]),
+            jnp.zeros(vol.deform.shape[:-1]),
+            jnp.zeros(vol.deform.shape[:-1]),
+        ],
+        axis=-1,
+    )
+    vol = vol.replace(deform=vol.deform + disp)
+    cam = (
+        Camera.default_depth_camera()
+        .move_to([0.0, 0.0, -500.0])
+        .look_at([0.0, 0.0, 1000.0])
+    )
+    depth = jnp.asarray(
+        fixtures.sphere_depth_map(64, 48, 20.0, 800.0, 1200.0),
+        jnp.float32,
+    )
+    svol = shard_volume(vol, mesh)
+    out, miss, mask = _integrate_warped_sharded_mask_jit(
+        svol, depth, cam, mesh=mesh, cap_weight=False, nk=3,
+        interpret=True,
+    )
+    _full, remaining = warped_topup_sharded(
+        out, mask, depth, cam, mesh, max_topup_per_brick=8
+    )
+    assert int(remaining) > 0

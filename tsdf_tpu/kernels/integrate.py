@@ -951,10 +951,25 @@ def warped_miss_topup(
     Returns (volume, remaining): ``remaining`` > 0 only when misses
     exceeded ``max_topup`` (fall back to ops.integrate then).
     """
-    Z, Yr, Xr = vol.tsdf.shape
+    new_tsdf, new_weight, remaining = _topup_arrays(
+        vol.tsdf, vol.weight, vol.deform, mask, depth,
+        camera.k, camera.pose_inv, vol.truncation_distance,
+        vol.max_weight, cap_weight, int(max_topup),
+    )
+    return vol.replace(tsdf=new_tsdf, weight=new_weight), remaining
+
+
+def _topup_arrays(
+    tsdf, weight, deform, mask, depth, kmat, pose_inv, trunc,
+    max_weight, cap_weight: bool, K: int,
+):
+    """Array-level core of ``warped_miss_topup`` — also runs PER BRICK
+    inside the sharded path's shard_map (everything is plain jnp +
+    the sorted matmul gather/scatter, so it is SPMD-safe; voxel ids,
+    the sort and the scatter are all brick-local)."""
+    Z, Yr, Xr = tsdf.shape
     Hr, Wr = depth.shape
     N = Z * Yr * Xr
-    K = int(max_topup)
 
     from ..ops.scatter import gather_flat, scatter_add_flat
 
@@ -965,9 +980,8 @@ def warped_miss_topup(
     is_miss = keys[:K] < 0.5
 
     # deformed world centres of the candidates (one 3-channel gather)
-    dc = gather_flat(vol.deform.reshape(-1, 3), ids)  # (K, 3)
-    pi = camera.pose_inv
-    kmat = camera.k
+    dc = gather_flat(deform.reshape(-1, 3), ids)  # (K, 3)
+    pi = pose_inv
     fx, fy, cx, cy = kmat[0, 0], kmat[1, 1], kmat[0, 2], kmat[1, 2]
     wx, wy, wz = dc[:, 0], dc[:, 1], dc[:, 2]
     Xc = pi[0, 0] * wx + pi[0, 1] * wy + pi[0, 2] * wz + pi[0, 3]
@@ -991,7 +1005,6 @@ def warped_miss_topup(
         fill_mode="zero",
     )
 
-    trunc = vol.truncation_distance
     sdf = dval - Zc
     update = in_img & (dval > 0.0) & (sdf >= -trunc)
     obs = jnp.minimum(sdf, trunc)
@@ -1004,19 +1017,17 @@ def warped_miss_topup(
     obs_sum = acc[0].reshape(Z, Yr, Xr)
     cnt = acc[1].reshape(Z, Yr, Xr)
 
-    d = vol.tsdf.astype(jnp.float32)
-    w = vol.weight.astype(jnp.float32)
+    d = tsdf.astype(jnp.float32)
+    w = weight.astype(jnp.float32)
     new_w = w + cnt
     new_d = jnp.where(cnt > 0.0, (d * w + obs_sum) / new_w, d)
     if cap_weight:
-        new_w = jnp.minimum(new_w, vol.max_weight)
+        new_w = jnp.minimum(new_w, max_weight)
     remaining = (jnp.sum(flat) - jnp.sum(is_miss.astype(jnp.float32))
                  ).astype(jnp.int32)
     return (
-        vol.replace(
-            tsdf=new_d.astype(vol.tsdf.dtype),
-            weight=new_w.astype(vol.weight.dtype),
-        ),
+        new_d.astype(tsdf.dtype),
+        new_w.astype(weight.dtype),
         remaining,
     )
 

@@ -1094,6 +1094,108 @@ def _update_deformation_sharded_jit(
     return new_deform, n_corr_b[0], overflow_b[0]
 
 
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "cap_weight", "nk", "interpret"),
+)
+def _integrate_warped_sharded_mask_jit(
+    vol: TSDFVolume,
+    depth: jnp.ndarray,
+    camera: Camera,
+    *,
+    mesh: Mesh,
+    cap_weight: bool,
+    nk: int,
+    interpret: bool,
+):
+    """Brick-parallel warped integrate that ALSO returns the per-voxel
+    miss mask (z-sharded like the volume) for ``warped_topup_sharded``."""
+    nb = mesh.shape["b"]
+
+    def local(tsdf, weight, deform, depth, k, pose, pose_inv,
+              physical_size, offset, trunc, max_weight):
+        from ..kernels.integrate import integrate_warped_pallas
+
+        lvol = _local_slab_volume(
+            tsdf, weight, deform, physical_size, offset, trunc,
+            max_weight, nb,
+        )
+        cam = Camera(
+            k=k, k_inv=jnp.linalg.inv(k), pose=pose, pose_inv=pose_inv
+        )
+        out, miss, mask = integrate_warped_pallas(
+            lvol, depth, cam, cap_weight=cap_weight, nk=nk,
+            interpret=interpret, return_mask=True,
+        )
+        return out.tsdf, out.weight, jax.lax.psum(miss, "b"), mask
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("b"), P("b"), P("b"), P(), P(), P(), P(), P(), P(), P(),
+            P(),
+        ),
+        out_specs=(P("b"), P("b"), P(), P("b")),
+        check_vma=False,
+    )
+    new_tsdf, new_weight, miss, mask = fn(
+        vol.tsdf, vol.weight, vol.deform, depth,
+        camera.k, camera.pose, camera.pose_inv,
+        vol.physical_size, vol.offset, vol.truncation_distance,
+        vol.max_weight,
+    )
+    return vol.replace(tsdf=new_tsdf, weight=new_weight), miss, mask
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "cap_weight", "max_topup_per_brick"),
+)
+def warped_topup_sharded(
+    vol: TSDFVolume,
+    mask: jnp.ndarray,
+    depth: jnp.ndarray,
+    camera: Camera,
+    mesh: Mesh,
+    cap_weight: bool = False,
+    max_topup_per_brick: int = 1 << 16,
+):
+    """Brick-parallel ``warped_miss_topup``: each brick sort-compacts
+    its OWN missed voxels and fuses them through the sorted matmul
+    gather/scatter (the core is plain jnp, so it runs unchanged inside
+    the shard_map; ids, sort and scatter are brick-local). The summed
+    remaining count is psum'd; >0 only when some brick's misses
+    exceeded its cap.
+
+    Returns (volume, remaining)."""
+    from ..kernels.integrate import _topup_arrays
+
+    def local(tsdf, weight, deform, mask, depth, k, pose_inv, trunc,
+              max_weight):
+        new_t, new_w, rem = _topup_arrays(
+            tsdf, weight, deform, mask, depth, k, pose_inv, trunc,
+            max_weight, cap_weight, max_topup_per_brick,
+        )
+        return new_t, new_w, jax.lax.psum(rem, "b")
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("b"), P("b"), P("b"), P("b"), P(), P(), P(), P(), P(),
+        ),
+        out_specs=(P("b"), P("b"), P()),
+        check_vma=False,
+    )
+    new_tsdf, new_weight, remaining = fn(
+        vol.tsdf, vol.weight, vol.deform, mask, depth,
+        camera.k, camera.pose_inv, vol.truncation_distance,
+        vol.max_weight,
+    )
+    return vol.replace(tsdf=new_tsdf, weight=new_weight), remaining
+
+
 def scenefusion_frame_sharded(
     vol: TSDFVolume,
     depth: jnp.ndarray,
@@ -1108,10 +1210,12 @@ def scenefusion_frame_sharded(
     """One non-rigid SceneFusion frame on the device mesh: brick-parallel
     deformation update (``update_deformation_sharded``) followed by the
     brick-parallel deformed-volume integrate — the warped line-sweep
-    Pallas kernel per brick, falling back to the lax path when the
-    exact-or-skip miss counter fires (accumulated warps past the
-    kernel's horizontal pixel budget). The mesh analogue of the
-    single-device fused step (pipelines/scenefusion.py:_sf_step_pallas;
+    Pallas kernel per brick. A frame with exact-or-skip misses fuses
+    exactly the skipped voxels through ``warped_topup_sharded`` (the
+    round-4 parity with the single-device pipeline); the lax-sharded
+    integrate remains the last resort past the top-up cap. The mesh
+    analogue of the single-device fused step
+    (pipelines/scenefusion.py:_sf_step_pallas;
     ref loop: SceneFusion.cpp:84-185).
 
     Returns (updated volume, total correspondence count).
@@ -1122,12 +1226,20 @@ def scenefusion_frame_sharded(
         threshold_mm=threshold_mm,
         tpu_safe=tpu_safe,
     )
-    out, miss = integrate_sharded(
-        vol, depth, camera, mesh, use_pallas=True, nk=nk,
-        return_miss=True,
+    interpret = jax.default_backend() != "tpu"
+    depth_f = jnp.asarray(depth, jnp.float32)
+    out, miss, mask = _integrate_warped_sharded_mask_jit(
+        vol, depth_f, camera, mesh=mesh, cap_weight=False, nk=nk,
+        interpret=interpret,
     )
     if int(miss) > 0:
-        out = integrate_sharded(vol, depth, camera, mesh)
+        out2, remaining = warped_topup_sharded(
+            out, mask, depth_f, camera, mesh
+        )
+        if int(remaining) == 0:
+            out = out2
+        else:
+            out = integrate_sharded(vol, depth, camera, mesh)
     return out, n_corr
 
 
