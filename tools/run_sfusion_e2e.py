@@ -14,7 +14,8 @@ from tsdf_tpu.ops.raycast import render_to_depth_image
 from tsdf_tpu.io.png import save_png
 from tsdf_tpu.utils import fixtures
 
-W, H, N = 640, 480, 4
+W, H = 640, 480
+N = int(os.environ.get("SFUSION_E2E_FRAMES", "4"))
 root = tempfile.mkdtemp(prefix="sfusion_e2e_")
 rgbd, flow = os.path.join(root, "rgbd"), os.path.join(root, "flow")
 os.makedirs(rgbd); os.makedirs(flow)
