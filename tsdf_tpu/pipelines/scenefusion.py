@@ -555,22 +555,36 @@ class SceneFusion:
                 # mid-run overflow call pays tracing + a disk cache hit
                 # instead of the full remote compile.
                 self._fallback_warmed = True
-                lowered = _sf_step_pallas.lower(
-                    self.volume,
-                    jnp.asarray(depth, jnp.float32),
-                    jnp.asarray(flow, jnp.float32),
-                    self.camera,
-                    max_cubes=cfg.max_cubes,
-                    nk=cfg.integrate_nk,
-                    threshold_mm=cfg.threshold_mm,
-                    tpu_safe=tpu_safe,
-                    use_chunked=False,
-                )
+                # both escalation rungs: chunked at the max_cubes
+                # ceiling (cap-ladder overflow) and the unchunked exact
+                # compaction (chunk-cap overflow)
+                rungs = [
+                    dict(use_chunked=True),
+                    dict(use_chunked=False),
+                ] if cfg.max_cubes_fast < cfg.max_cubes else [
+                    dict(use_chunked=False),
+                ]
+                lowereds = [
+                    _sf_step_pallas.lower(
+                        self.volume,
+                        jnp.asarray(depth, jnp.float32),
+                        jnp.asarray(flow, jnp.float32),
+                        self.camera,
+                        max_cubes=cfg.max_cubes,
+                        nk=cfg.integrate_nk,
+                        threshold_mm=cfg.threshold_mm,
+                        tpu_safe=tpu_safe,
+                        **r,
+                    )
+                    for r in rungs
+                ]
                 import threading
 
-                threading.Thread(
-                    target=lowered.compile, daemon=True
-                ).start()
+                def _compile_all(ls=lowereds):
+                    for low in ls:  # serial: one remote compile at a time
+                        low.compile()
+
+                threading.Thread(target=_compile_all, daemon=True).start()
             # Cap ladder (round 4): run at the fast cube cap first —
             # the compaction streams and the order-restoring sort scale
             # with the STATIC cap, not live cubes (100.6 -> 80.0 ms at
