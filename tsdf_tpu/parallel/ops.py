@@ -384,7 +384,8 @@ def raycast_sharded_bricked(
     brick (the 768^3-class multi-host memory budget).
 
     The sweep axis follows the camera's dominant forward direction (the
-    same 3-permutation ``lax.switch`` as the single-chip kernel,
+    same 6-permutation ``lax.switch`` — 3 sweep axes x 2 in-plane
+    orientations — as the single-chip kernel,
     kernels/raycast.py:raycast_pallas): for a y- or x-dominant camera
     the z-sharded bricks are re-sharded along the sweep axis with ONE
     tiled ``all_to_all`` over the brick axis (O(brick)/device traffic
