@@ -481,8 +481,10 @@ def _kernel_warped(
     out_tsdf_ref,
     out_weight_ref,
     out_miss_ref,
-    out_mask_ref,  # (1, Y, BX) f32: 1.0 where in-image but unmatched
-    *,
+    # optional trailing ref (emit_mask=True only):
+    #   out_mask_ref (1, Y, BX) f32: 1.0 where in-image but unmatched
+    *maybe_mask_ref,
+    emit_mask: bool,
     Y: int,
     BX: int,
     Hp: int,
@@ -629,10 +631,13 @@ def _kernel_warped(
     missed = in_img & ~matched
     miss_count = jnp.sum(missed.astype(jnp.int32))
     out_miss_ref[0, 0] = jnp.full((8, _LANE), miss_count, jnp.int32)
-    # per-voxel miss mask: consumed by warped_miss_topup, which redoes
-    # exactly these voxels through the sorted matmul gather/scatter so
-    # a frame with misses never needs the full-volume lax fallback
-    out_mask_ref[0] = missed.astype(jnp.float32)
+    if emit_mask:
+        # per-voxel miss mask: consumed by warped_miss_topup, which
+        # redoes exactly these voxels through the sorted matmul
+        # gather/scatter so a frame with misses never needs the
+        # full-volume lax fallback. Omitted when return_mask=False —
+        # a full (Z, Y, X) f32 stream is ~25% extra HBM traffic.
+        maybe_mask_ref[0][0] = missed.astype(jnp.float32)
 
 
 @partial(
@@ -864,6 +869,7 @@ def integrate_warped_pallas(
 
     kern = partial(
         _kernel_warped,
+        emit_mask=return_mask,
         Y=Y, BX=BX, Hp=Hp, Wp=Wp, Hr=Hr, Wr=Wr, Yr=Yr, Xr=Xr,
         nk=nk, cap_weight=cap_weight,
     )
@@ -871,30 +877,35 @@ def integrate_warped_pallas(
     vol_spec = pl.BlockSpec(
         (1, Y, BX), lambda z, xb: (z, 0, xb), memory_space=pltpu.VMEM
     )
-    new_tsdf, new_weight, miss, mask = pl.pallas_call(
-        kern,
-        out_shape=(
-            jax.ShapeDtypeStruct((Z, Y, X), vol.tsdf.dtype),
-            jax.ShapeDtypeStruct((Z, Y, X), vol.weight.dtype),
-            jax.ShapeDtypeStruct((Z, n_xb, 8, _LANE), jnp.int32),
-            jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
+    out_shape = [
+        jax.ShapeDtypeStruct((Z, Y, X), vol.tsdf.dtype),
+        jax.ShapeDtypeStruct((Z, Y, X), vol.weight.dtype),
+        jax.ShapeDtypeStruct((Z, n_xb, 8, _LANE), jnp.int32),
+    ]
+    out_specs = [
+        vol_spec,
+        vol_spec,
+        pl.BlockSpec(
+            (1, 1, 8, _LANE),
+            lambda z, xb: (z, xb, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
+    ]
+    if return_mask:
+        # the mask output is compiled out when unused — it is a full
+        # (Z, Y, X) f32 HBM stream, ~25% extra volume traffic
+        out_shape.append(jax.ShapeDtypeStruct((Z, Y, X), jnp.float32))
+        out_specs.append(vol_spec)
+    outs = pl.pallas_call(
+        kern,
+        out_shape=tuple(out_shape),
         grid=(Z, n_xb),
         in_specs=[
             pl.BlockSpec((1, 24), lambda z, xb: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((Hp, Wp), lambda z, xb: (0, 0), memory_space=pltpu.VMEM),
             vol_spec, vol_spec, vol_spec, vol_spec, vol_spec,
         ],
-        out_specs=(
-            vol_spec,
-            vol_spec,
-            pl.BlockSpec(
-                (1, 1, 8, _LANE),
-                lambda z, xb: (z, xb, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            vol_spec,
-        ),
+        out_specs=tuple(out_specs),
         interpret=interpret,
         # the dual-band window doubles the pass-1 tmps: ~30 MB of
         # scoped vmem at 512^3, past the conservative 16 MB default
@@ -903,15 +914,18 @@ def integrate_warped_pallas(
             vmem_limit_bytes=48 * 1024 * 1024
         ),
     )(params, depth_f, tsdf, weight, dx, dy, dz)
+    new_tsdf, new_weight, miss = outs[:3]
 
     if (Y, X) != (Yr, Xr):
         new_tsdf = new_tsdf[:, :Yr, :Xr]
         new_weight = new_weight[:, :Yr, :Xr]
-        mask = mask[:, :Yr, :Xr]
 
     out_vol = vol.replace(tsdf=new_tsdf, weight=new_weight)
     miss_total = jnp.sum(miss[:, :, 0, 0])
     if return_mask:
+        mask = outs[3]
+        if (Y, X) != (Yr, Xr):
+            mask = mask[:, :Yr, :Xr]
         return out_vol, miss_total, mask
     return out_vol, miss_total
 
@@ -1022,7 +1036,11 @@ def _topup_arrays(
     new_w = w + cnt
     new_d = jnp.where(cnt > 0.0, (d * w + obs_sum) / new_w, d)
     if cap_weight:
-        new_w = jnp.minimum(new_w, max_weight)
+        # Clamp only voxels that actually received observations this
+        # top-up: pre-existing weights above max_weight (accumulated with
+        # capping off) must pass through untouched, matching the warped
+        # kernel's where(update, capped, w) semantics.
+        new_w = jnp.where(cnt > 0.0, jnp.minimum(new_w, max_weight), w)
     remaining = (jnp.sum(flat) - jnp.sum(is_miss.astype(jnp.float32))
                  ).astype(jnp.int32)
     return (

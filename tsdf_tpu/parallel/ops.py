@@ -419,6 +419,20 @@ def raycast_sharded_bricked(
         # auto: general-direction sweeps whenever the re-shard divides
         # evenly, else the z-only sweep (its documented limitation)
         axis_select = not (Y % nb or X % nb)
+        if not axis_select:
+            # The camera pose is a tracer here, so dominance can't be
+            # checked on host: warn unconditionally — an x-/y-dominant
+            # camera under the z-only sweep produces miss rows (fewer
+            # ICP correspondences) with no other signal.
+            import warnings
+
+            warnings.warn(
+                f"raycast_sharded_bricked: Y={Y} or X={X} not divisible "
+                f"by the brick axis ({nb}); auto-degrading to the z-only "
+                "sweep. x-/y-dominant cameras will produce misses — pad "
+                "the volume or pass axis_select explicitly.",
+                stacklevel=2,
+            )
     elif axis_select and (Y % nb or X % nb):
         raise ValueError(
             f"axis_select needs Y={Y} and X={X} divisible by the brick "
@@ -734,6 +748,13 @@ def track_and_fuse_frames_sharded(
     brick-parallel Pallas integrate. The mesh-wide analogue of
     pipelines.track_and_fuse_frames; trajectories match the
     single-device loop (tests/test_parallel_icp.py).
+
+    The model render uses raycast_sharded_bricked's auto axis_select:
+    volumes whose Y or X does not divide the mesh's brick axis degrade
+    to the z-only sweep (a trace-time warning fires), where x-/y-
+    dominant cameras produce render miss rows and hence fewer ICP
+    correspondences — size the volume divisible by the brick axis for
+    orientation-free tracking.
 
     Returns (volume, camera, poses, stats) as the single-device loop.
     """

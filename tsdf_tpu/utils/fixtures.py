@@ -136,7 +136,10 @@ def kinect_noise(
     dx = jnp.abs(jnp.pad(d[:, 1:], ((0, 0), (0, 1))) - d)
     edge = (dx > edge_thresh_mm) & valid
     shadow = jnp.zeros_like(edge)
-    for s in range(shadow_px):
+    # s=1..shadow_px so the full shadow_px pixels BEYOND the edge pixel
+    # are shadowed (s=0 would re-mark the edge pixel itself and leave
+    # the shadow one pixel short of the documented width)
+    for s in range(1, shadow_px + 1):
         shifted = jnp.pad(edge[:, s:], ((0, 0), (0, s)))
         shadow = shadow | shifted
     d = jnp.where(shadow, 0.0, d)
