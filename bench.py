@@ -70,7 +70,14 @@ SECTION_KEYS = {
     ],
     "raycast": [("raycast_ms", "lower", 28.7)],
     "kinfu": [("kinfu_tracked_ms_256", "lower", 58.6)],
-    "scenefusion": [("scenefusion_ms_255", "lower", 210.6)],
+    # round 5: scenefusion_ms_255 switched to the chained-frames
+    # convention every other section uses (baseline re-recorded in the
+    # same convention); the legacy per-step-sync number (which charged
+    # each frame a ~28 ms tunnel round-trip) is kept alongside
+    "scenefusion": [
+        ("scenefusion_ms_255", "lower", 57.9),
+        ("scenefusion_sync_ms_255", "lower", 210.6),
+    ],
     # first measured round 4 (the dual-band warped kernel at the
     # headline grid; no earlier number exists — ratio starts at 1.0)
     "scenefusion-512": [("integrate_warped_ms_512", "lower", None)],
@@ -324,34 +331,38 @@ def main():
     # per-frame readback would serialize on the device sync), so every
     # timed frame is proven loss-free.
     _note("integrate warmup/compile")
-    v, miss = integrate_pallas(vol, depth, camera, mode="line")
-    _sync(v.weight)
     iters = 10
-    misses = [miss]
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        v, miss = integrate_pallas(v, depth, camera, mode="line")
-        misses.append(miss)
-    _sync(v.weight)
-    dt_int = (time.perf_counter() - t0) / iters
+
+    def _median_loops(mode, n_loops=3):
+        # median of 3 x 10-frame chained loops (round-4 verdict item 5:
+        # the integrate headline was effectively single-capture and the
+        # tunnel adds multi-ms jitter; kinfu/SF already median)
+        v, miss = integrate_pallas(vol, depth, camera, mode=mode)
+        _sync(v.weight)
+        misses = [miss]
+        loop_ms = []
+        for _ in range(n_loops):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                v, miss = integrate_pallas(v, depth, camera, mode=mode)
+                misses.append(miss)
+            _sync(v.weight)
+            loop_ms.append((time.perf_counter() - t0) / iters * 1e3)
+        return float(np.median(loop_ms)), misses, loop_ms
+
+    int_ms, misses, loops = _median_loops("line")
+    dt_int = int_ms / 1e3
     assert float(jnp.sum(jnp.stack(misses))) == 0.0
     voxel_updates_per_s = grid**3 / dt_int
-    _note(f"integrate done: {dt_int*1e3:.1f} ms")
+    _note(f"integrate done: {int_ms:.1f} ms (loops {loops})")
 
     # the opt-in decimated fast mode (lane-span compression, round 4):
     # measured alongside the exact-convention headline, never replacing
     # it (the convention is approximate by design)
     try:
-        v, miss = integrate_pallas(vol, depth, camera, mode="fast")
-        _sync(v.weight)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            v, miss = integrate_pallas(v, depth, camera, mode="fast")
-        _sync(v.weight)
-        dt_fast = (time.perf_counter() - t0) / iters
-        _RESULT["aux"]["integrate_fast_ms"] = dt_fast * 1e3
-        _note(f"integrate fast done: {dt_fast*1e3:.1f} ms")
-        del v
+        fast_ms, _m, loops_f = _median_loops("fast")
+        _RESULT["aux"]["integrate_fast_ms"] = fast_ms
+        _note(f"integrate fast done: {fast_ms:.1f} ms (loops {loops_f})")
     except Exception as e:
         _note(f"integrate fast failed: {type(e).__name__}: {e}")
 
@@ -691,18 +702,36 @@ def main():
                 return out
 
             _note("scenefusion warmup/compile")
-            sf_times = []
             v3 = sf_fn(sf_vol)
             _sync(v3.tsdf)
-            for _ in range(5):
+            # chained frames, one sync per loop (round 5): the per-step
+            # sync convention charged every frame a full ~25 ms tunnel
+            # round-trip — pure remote-harness latency a local consumer
+            # (and this same bench's integrate/kinfu sections) never
+            # pays. The old per-step number is kept alongside.
+            sf_loops = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(4):
+                    v3 = sf_fn(v3)
+                _sync(v3.tsdf)
+                sf_loops.append((time.perf_counter() - t0) / 4)
+            _RESULT["aux"]["scenefusion_ms_255"] = (
+                float(np.median(sf_loops)) * 1e3
+            )
+            sf_times = []
+            for _ in range(3):
                 t0 = time.perf_counter()
                 v3 = sf_fn(v3)
                 _sync(v3.tsdf)
                 sf_times.append(time.perf_counter() - t0)
-            _RESULT["aux"]["scenefusion_ms_255"] = (
+            _RESULT["aux"]["scenefusion_sync_ms_255"] = (
                 float(np.median(sf_times)) * 1e3
             )
-            _note(f"scenefusion done: {np.median(sf_times)*1e3:.1f} ms")
+            _note(
+                f"scenefusion done: chained {np.median(sf_loops)*1e3:.1f}"
+                f" ms, per-step-sync {np.median(sf_times)*1e3:.1f} ms"
+            )
         except Exception as e:
             failed("scenefusion", e)
 

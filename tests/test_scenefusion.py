@@ -291,6 +291,64 @@ def test_update_deformation_cubes_matches_slot_stream():
     )
 
 
+def test_chunk_major_compaction_matches_old():
+    """Round-5 chunk-major compaction (_chunked_compact_cm: batched
+    per-chunk prefix sort + compare-reduce rank map + pre-sorted
+    gathers + two narrow order-restoring sorts) produces EXACTLY the
+    round-4 compaction's output (same ascending-cid contract), and the
+    fused-step extraction + deformation update built on it matches the
+    lax reference."""
+    from tsdf_tpu.ops.marching_cubes import (
+        _chunked_compact,
+        _chunked_compact_cm,
+        _extract_arrays,
+    )
+    from tsdf_tpu.pipelines.scenefusion import update_deformation_cubes
+
+    vol, cam, depth = _sphere_setup()
+    flow = jnp.broadcast_to(
+        jnp.array([25.0, -5.0, 3.0], jnp.float32), (H, W, 3)
+    )
+    mc = 1 << 14
+    cid1, t1, ws1, v1, of1, n1 = _chunked_compact(vol.tsdf, None, mc)
+    cid2, t2, ws2, v2, of2, n2 = _chunked_compact_cm(vol.tsdf, None, mc)
+    n = int(n1)
+    assert n == int(n2) and bool(of1) == bool(of2)
+    np.testing.assert_array_equal(np.asarray(cid1), np.asarray(cid2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(
+        np.asarray(ws1)[:n], np.asarray(ws2)[:n]
+    )
+
+    soup_n, (cid, ei, cv, edge_verts) = _extract_arrays(
+        vol.tsdf, vol.voxel_size, vol.offset,
+        max_cubes=mc, max_vertices=1,
+        layout="masked", tpu_safe=True, return_cube_slots=True,
+        chunk_major=True, return_edge_verts=True,
+    )
+    new, n_new = update_deformation_cubes(
+        vol, soup_n, cid, ei, cv, depth, cam, flow
+    )
+    ref, n_ref = update_deformation(
+        vol, soup_n, depth, cam, flow, tpu_safe=False
+    )
+    assert int(n_new) == int(n_ref)
+    np.testing.assert_allclose(
+        np.asarray(new.deform), np.asarray(ref.deform), atol=1e-4
+    )
+    # per-EDGE correspondence (round 5): a slot's pixel is its edge's
+    # pixel, so gathering once per edge must reproduce the per-slot
+    # update exactly
+    newe, n_e = update_deformation_cubes(
+        vol, soup_n, cid, ei, cv, depth, cam, flow,
+        edge_verts=edge_verts,
+    )
+    assert int(n_e) == int(n_ref)
+    np.testing.assert_allclose(
+        np.asarray(newe.deform), np.asarray(new.deform), atol=1e-5
+    )
+
+
 def test_correspondence_uses_camera_depth_not_world_z():
     """A 90-deg-yaw camera: acceptance must compare camera-space depth
     (the reference's depth-only distance in ITS identity frame), not

@@ -344,7 +344,7 @@ take_flat.defvjp(_take_flat_fwd, _take_flat_bwd)
 
 @partial(
     jax.jit,
-    static_argnames=("window", "rows_per_patch", "fill_mode"),
+    static_argnames=("window", "rows_per_patch", "fill_mode", "is_sorted"),
 )
 def gather_flat(
     table: jnp.ndarray,
@@ -352,6 +352,7 @@ def gather_flat(
     window: int = 2048,
     rows_per_patch: int = 256,
     fill_mode: str = "clip",
+    is_sorted: bool | str = False,
 ) -> jnp.ndarray:
     """out[c] = table[lin[c]] — the gather DUAL of ``scatter_add_flat``.
 
@@ -381,6 +382,12 @@ def gather_flat(
         clamp to the ends (``jnp.take`` mode="clip"); "zero": they
         return 0.0.
       window / rows_per_patch: static tuning (see scatter_add_flat).
+      is_sorted: False = sort here (and un-sort the outputs). "trusted"
+        = the caller GUARANTEES ``lin`` is non-decreasing with
+        out-of-range entries only as a suffix (fill_mode="zero") —
+        skips BOTH sorts (two lax.sort passes, the dominant cost for
+        short streams). Entries after a violation gather from the wrong
+        patch; use only where ascending holds by construction.
 
     Returns:
       (C,) or (C, D) f32 gathered values, in the ORIGINAL stream order.
@@ -405,8 +412,11 @@ def gather_flat(
         # a stream that is mostly dead slots costs only its live prefix.
         lin_c = jnp.where(oob, nr * _LANE, lin_c)
 
-    perm = jnp.arange(C, dtype=jnp.int32)
-    lin_s, perm_s = jax.lax.sort([lin_c, perm], num_keys=1)
+    if is_sorted == "trusted":
+        lin_s, perm_s = lin_c, None
+    else:
+        perm = jnp.arange(C, dtype=jnp.int32)
+        lin_s, perm_s = jax.lax.sort([lin_c, perm], num_keys=1)
 
     # pad the index stream with an n-row sentinel the walk terminates on
     lin_p = jnp.concatenate([lin_s, jnp.full((K,), nr * _LANE, jnp.int32)])
@@ -451,12 +461,13 @@ def gather_flat(
     _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), out))
     out = out[:C]
 
-    # un-sort: a second key-sort by the permutation restores stream
-    # order without a scatter
-    _, *gs = jax.lax.sort(
-        [perm_s] + [out[:, d] for d in range(D)], num_keys=1
-    )
-    out = jnp.stack(gs, axis=-1)
+    if perm_s is not None:
+        # un-sort: a second key-sort by the permutation restores stream
+        # order without a scatter
+        _, *gs = jax.lax.sort(
+            [perm_s] + [out[:, d] for d in range(D)], num_keys=1
+        )
+        out = jnp.stack(gs, axis=-1)
     if fill_mode == "zero":
         out = jnp.where(oob[:, None], 0.0, out)
     return out[:, 0] if squeeze else out

@@ -75,11 +75,16 @@ class SceneFusionConfig:
     # kernel (kernels/integrate.py:integrate_warped_pallas). The window
     # base adapts per voxel column (round-4 banded window), so smooth /
     # uniform x-warps of any magnitude are exact; nk bounds only the
-    # warp's pixel VARIATION within one voxel column (range <= nk - 1).
-    # Frames whose exact-or-skip miss counter still fires fall back to
-    # the lax path so no observation is ever lost.
+    # warp's pixel VARIATION within one voxel column (range <= nk - 1)
+    # AROUND the per-column linear band fit. Frames whose exact-or-skip
+    # miss counter still fires run the sorted-gather miss top-up (and
+    # only past its cap the lax path), so no observation is ever lost.
+    # Round 5: default 3 (was 5) — the linear band fit absorbs smooth
+    # warps, so the wider window bought nothing on every measured
+    # sequence while costing ~4 ms/frame at 255^3; pathological frames
+    # pay the top-up instead.
     use_pallas: bool = True
-    integrate_nk: int = 5
+    integrate_nk: int = 3
     # AOT-compile the use_chunked=False overflow-fallback step variant
     # in a BACKGROUND thread after the first frame's compile (lower +
     # compile, no execution; the remote compile is an HTTP wait, so the
@@ -282,25 +287,12 @@ def _cube_corner_scatter(
 
     Returns (D, Z*Y*X) f32 accumulated per voxel.
     """
-    from ..ops.marching_cubes import CORNER_OFFSETS, EDGE_CORNERS
+    from ..ops.marching_cubes import CORNER_OFFSETS
 
     Z, Y, X = shape
-    C = cid.shape[0]
-    D = contrib.shape[-1]
 
-    # Each corner k is incident to exactly 3 of the 12 edges: w_k per
-    # slot = sum of the 3 edge-equality masks — pure VPU compares, no
-    # table gather. Dead slots carry edge 0 but a zero contribution.
-    ec = np.asarray(EDGE_CORNERS)  # (12, 2) static
-    e = edge_idx  # (C, _MAX_V) in [0, 12)
-    edge_mask = [
-        (e == i).astype(jnp.float32) for i in range(12)
-    ]  # 12 x (C, _MAX_V)
-    corner_edges = [
-        [i for i in range(12) if k in (int(ec[i, 0]), int(ec[i, 1]))]
-        for k in range(8)
-    ]
-    assert all(len(v) == 3 for v in corner_edges)
+    # Dead slots carry edge 0 but a zero contribution.
+    payload = _slot_corner_fold(contrib, edge_idx)
 
     cy, cx = Y - 1, X - 1
     cz_ = cid // (cy * cx)
@@ -309,12 +301,8 @@ def _cube_corner_scatter(
     cx_ = rem - cy_ * cx
     n_vox = Z * Y * X
 
-    payload = []
     offs = []
     for k in range(8):
-        a, b, c = corner_edges[k]
-        w_k = edge_mask[a] + edge_mask[b] + edge_mask[c]  # (C, _MAX_V)
-        payload.append(jnp.einsum("cs,csd->dc", w_k, contrib))  # (D, C)
         dx, dy, dz = (int(v) for v in CORNER_OFFSETS[k])
         offs.append((dz * Y + dy) * X + dx)
     lin0 = (cz_ * Y + cy_) * X + cx_  # cube-base voxel id (corner 3)
@@ -346,6 +334,34 @@ def _cube_corner_scatter(
     )  # (D, n_vox)
 
 
+def _slot_corner_fold(contrib: jnp.ndarray, edge_idx: jnp.ndarray):
+    """Fold per-slot contributions onto the 8 cube corners.
+
+    Each corner k is incident to exactly 3 of the 12 MC edges, so the
+    per-slot weight for corner k is the sum of 3 edge-equality masks —
+    pure VPU compares, no table gather (ref: the per-vertex bracketing
+    pair writes, MarkAndSweepMC.cu:290-301). Returns a list of 8
+    (D, C) payload blocks, corner order = CORNER_OFFSETS.
+    """
+    from ..ops.marching_cubes import EDGE_CORNERS
+
+    ec = np.asarray(EDGE_CORNERS)  # (12, 2) static
+    edge_mask = [
+        (edge_idx == i).astype(jnp.float32) for i in range(12)
+    ]  # 12 x (C, _MAX_V)
+    corner_edges = [
+        [i for i in range(12) if k in (int(ec[i, 0]), int(ec[i, 1]))]
+        for k in range(8)
+    ]
+    assert all(len(v) == 3 for v in corner_edges)
+    payload = []
+    for k in range(8):
+        a, b, c = corner_edges[k]
+        w_k = edge_mask[a] + edge_mask[b] + edge_mask[c]  # (C, _MAX_V)
+        payload.append(jnp.einsum("cs,csd->dc", w_k, contrib))  # (D, C)
+    return payload
+
+
 def update_deformation_cubes(
     vol: TSDFVolume,
     soup: TriangleSoup,
@@ -356,6 +372,7 @@ def update_deformation_cubes(
     camera: Camera,
     flow: jnp.ndarray,
     threshold_mm: float = CORRESPONDENCE_THRESHOLD_MM,
+    edge_verts: jnp.ndarray | None = None,
 ) -> tuple[TSDFVolume, jnp.ndarray]:
     """TPU fast path of ``update_deformation`` over cube slots.
 
@@ -370,14 +387,54 @@ def update_deformation_cubes(
     (out[lin+off] += v == shift(scatter(lin, v), off)) — ~48× fewer
     matmul windows than scattering the raw 2·24·max_cubes slot stream,
     and 8× fewer than one scatter per corner.
+
+    With ``edge_verts`` (round 5): the depth/flow image gather runs per
+    EDGE (the ≤12 distinct vertices each cube can own) instead of per
+    slot (24, which repeat edges) — the gather stream halves, and the
+    per-slot values come back through a narrow width-12 lane gather.
+    Identical math: a slot's pixel is its edge's pixel.
     """
     from ..ops.marching_cubes import _MAX_V
 
     depth = jnp.asarray(depth, jnp.float32)
     C = cid.shape[0]
-    corr, flow_at_vert = _slot_correspondence(
-        soup.vertices, soup.valid, depth, camera, flow, threshold_mm
-    )
+    if edge_verts is not None:
+        slot_valid = soup.valid.reshape(C, _MAX_V)
+        ei = edge_idx  # (C, _MAX_V) in [0, 12)
+        edge_used = jnp.stack(
+            [
+                jnp.any(slot_valid & (ei == e), axis=1)
+                for e in range(12)
+            ],
+            axis=1,
+        )  # (C, 12)
+        corr_e, flow_e = _slot_correspondence(
+            edge_verts.reshape(C * 12, 3),
+            edge_used.reshape(-1),
+            depth, camera, flow, threshold_mm,
+        )
+        tpu_safe = True  # this is the TPU fast path by contract
+        from ..ops.marching_cubes import _slot_gather
+
+        fe = flow_e.reshape(C, 12, 3)
+        flow_slot = jnp.stack(
+            [_slot_gather(fe[:, :, d], ei, tpu_safe) for d in range(3)],
+            axis=-1,
+        )  # (C, _MAX_V, 3)
+        corr_slot = (
+            _slot_gather(
+                corr_e.astype(jnp.float32).reshape(C, 12), ei, tpu_safe
+            )
+            > 0.5
+        )
+        corr = (corr_slot & slot_valid).reshape(-1)
+        flow_at_vert = jnp.where(
+            corr[:, None], flow_slot.reshape(-1, 3), 0.0
+        )
+    else:
+        corr, flow_at_vert = _slot_correspondence(
+            soup.vertices, soup.valid, depth, camera, flow, threshold_mm
+        )
     n_corr = jnp.sum(corr.astype(jnp.int32))
 
     # (C, _MAX_V, 4) contributions: count channel over all valid slots,
@@ -404,7 +461,8 @@ def update_deformation_cubes(
 @partial(
     jax.jit,
     static_argnames=(
-        "max_cubes", "nk", "threshold_mm", "tpu_safe", "use_chunked"
+        "max_cubes", "nk", "threshold_mm", "tpu_safe", "use_chunked",
+        "chunk_major",
     ),
 )
 def _sf_step_pallas(
@@ -418,6 +476,7 @@ def _sf_step_pallas(
     threshold_mm: float,
     tpu_safe: bool,
     use_chunked: bool = True,
+    chunk_major: bool = True,
 ):
     """One fused SceneFusion frame: masked-layout surface extraction ->
     deformation-field update -> warped-volume Pallas integrate, all in
@@ -439,7 +498,7 @@ def _sf_step_pallas(
     from ..kernels.integrate import integrate_warped_pallas
 
     if tpu_safe:
-        soup, (cid, edge_idx, cube_valid) = _extract_arrays(
+        soup, (cid, edge_idx, cube_valid, edge_verts) = _extract_arrays(
             vol.tsdf,
             vol.voxel_size,
             vol.offset,
@@ -449,10 +508,17 @@ def _sf_step_pallas(
             tpu_safe=True,
             return_cube_slots=True,
             use_chunked=use_chunked,
+            # round-5: the chunk-major compaction (cost bound by the
+            # compacted stream, not the million-slot chunk space — same
+            # ascending-cid contract, ~2x faster extraction)
+            chunk_major=use_chunked and chunk_major,
+            # round-5: per-EDGE correspondence gather (2x fewer image
+            # lookups than per-slot; identical math)
+            return_edge_verts=True,
         )
         vol, n_corr = update_deformation_cubes(
             vol, soup, cid, edge_idx, cube_valid, depth, camera, flow,
-            threshold_mm,
+            threshold_mm, edge_verts=edge_verts,
         )
     else:
         soup = _extract_arrays(
