@@ -489,12 +489,26 @@ def raycast_sharded_bricked(
                     )
                     return jax.lax.psum(blk, "b")
 
+                # per-brick occupancy (round 5): each owner min-reduces
+                # its brick, one tiny all_gather replicates the (nb,)
+                # table, and the sweep jumps whole empty runs — each
+                # skipped brick is one whole psum broadcast of ICI
+                # traffic that never happens. brick_live is replicated,
+                # so every device takes the same jump sequence and the
+                # collectives stay congruent.
+                phys_live = (
+                    jax.lax.all_gather(jnp.min(swept), "b") <= 0.0
+                )  # (nb,) in physical-brick order
+                rev = fwd[perm[2]] < 0.0
+                live_sweep = jnp.where(rev, phys_live[::-1], phys_live)
+
                 verts_p = _sweep_bricks(
                     provider, extent, yr, xr,
                     m[p, :], origin[p], off[p], physical[p], vs[p],
                     fwd[perm[2]],
                     width, hl, interpret,
                     brick_slabs=sl, any_alive=any_alive, y0=me * hl,
+                    brick_live=live_sweep,
                 )
                 return verts_p[..., ip]  # un-permute components
 
