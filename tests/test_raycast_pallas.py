@@ -207,3 +207,52 @@ def test_geometry_behind_camera_inside_volume():
     assert np.median(err) < 1.0
     # every hit is on the FAR sphere (z > camera), none behind
     assert (np.asarray(vp)[hp][:, 2] > 850.0).all()
+
+
+def test_empty_run_jump_sparse_scene():
+    """Round-5 run-jump skip: a scene whose surfaces sit in the FIRST
+    and LAST z-bricks with a long empty run between them must hit both
+    (the jump samples exactly one adjacency slab per empty run; a
+    crossing at the run's far boundary must survive), forward AND
+    reversed sweep."""
+    vol = make_volume((64,) * 3, 2000.0, offset=(-1000.0, -1000.0, 0.0))
+    # THIN slab walls (negative only inside a bounded band) near z=150
+    # and z=1900, positive everywhere else — unlike the half-space
+    # wall_tsdf fixture, both sweep directions see well-posed surfaces
+    tr = float(vol.truncation_distance)
+    vs = float(vol.voxel_size[2])
+    zc = (np.arange(64, dtype=np.float32) + 0.5) * vs
+    band = 2.5 * vs
+
+    def slab(depth):
+        return np.clip(np.abs(zc - depth) - band, -tr, tr)
+
+    t = np.minimum(slab(150.0), slab(1900.0))[:, None, None]
+    t = np.broadcast_to(t, (64, 64, 64)).copy()
+    t[:, 28:36, 28:36] = np.broadcast_to(
+        slab(1900.0)[:, None, None], (64, 8, 8)
+    )  # small window through the NEAR wall only (frustum-interior)
+    sparse = vol.replace(
+        tsdf=jnp.asarray(t),
+        weight=jnp.ones_like(vol.weight),
+    )
+    cam = (
+        Camera.from_intrinsics(FX, FY, CX, CY)
+        .move_to([0.0, 0.0, -400.0])
+        .look_at([0.0, 0.0, 1000.0])
+    )
+    # thin-wall window edges have many grazing rays where the two
+    # sampling schemes legitimately differ: relax the silhouette budget
+    _check(sparse, cam, min_agree=0.97)
+    # hits must exist on BOTH walls (window rays reach the far wall)
+    vp, _ = raycast_pallas(sparse, cam, width=W, height=H, interpret=True)
+    z = np.asarray(vp)[..., 2]
+    finite = np.isfinite(z)
+    assert (z[finite] < 500.0).any() and (z[finite] > 1500.0).any()
+    # reversed sweep over the same sparse scene
+    cam_r = (
+        Camera.from_intrinsics(FX, FY, CX, CY)
+        .move_to([0.0, 0.0, 2400.0])
+        .look_at([0.0, 0.0, -1000.0])
+    )
+    _check(sparse, cam_r, min_agree=0.97)

@@ -71,7 +71,15 @@ print(
 )
 
 # --- part 2: brick-wise marching cubes export --------------------------
-sphere = fixtures.sphere_tsdf(vol, 900.0, centre=(0.0, 0.0, 1500.0))
+# free part 1's state: ~7 GB of 768^3 tsdf+weight pairs; sphere_tsdf's
+# centre computation transiently needs several more volume-sized
+# buffers and the 16 GB chip OOMs if part 1 stays alive
+del v, miss, vol
+sphere = fixtures.sphere_tsdf(
+    make_volume((GRID,) * 3, 3000.0, offset=(-1500.0, -1500.0, 0.0)),
+    900.0,
+    centre=(0.0, 0.0, 1500.0),
+)
 
 Z, Y, X = sphere.tsdf.shape
 zl = Z // BRICKS

@@ -17,6 +17,19 @@ import numpy as np
 from ..volume import TSDFVolume
 
 
+def _axis_centres(vol: TSDFVolume):
+    """Per-axis voxel-centre vectors (z, y, x) — the separable form of
+    voxel_centres(): building the full (Z, Y, X, 3) grid costs 3 volume
+    buffers (5.4 GB at 768³) and OOMs the chip at config-5 scale."""
+    sz, sy, sx = vol.tsdf.shape
+    vs = vol.voxel_size
+    off = vol.offset
+    zc = off[2] + (jnp.arange(sz, dtype=jnp.float32) + 0.5) * vs[2]
+    yc = off[1] + (jnp.arange(sy, dtype=jnp.float32) + 0.5) * vs[1]
+    xc = off[0] + (jnp.arange(sx, dtype=jnp.float32) + 0.5) * vs[0]
+    return zc, yc, xc
+
+
 def sphere_tsdf(vol: TSDFVolume, radius: float, centre=None) -> TSDFVolume:
     """Exact clamped signed distance to a sphere, weights=1.
 
@@ -25,8 +38,13 @@ def sphere_tsdf(vol: TSDFVolume, radius: float, centre=None) -> TSDFVolume:
     if centre is None:
         centre = vol.offset + vol.physical_size / 2.0
     centre = jnp.asarray(centre, jnp.float32)
-    centres = vol.voxel_centres()
-    dist = jnp.linalg.norm(centres - centre, axis=-1) - radius
+    zc, yc, xc = _axis_centres(vol)
+    d2 = (
+        ((zc - centre[2]) ** 2)[:, None, None]
+        + ((yc - centre[1]) ** 2)[None, :, None]
+        + ((xc - centre[0]) ** 2)[None, None, :]
+    )
+    dist = jnp.sqrt(d2) - radius
     trunc = vol.truncation_distance
     dist = jnp.clip(dist, -trunc, trunc)
     return vol.replace(tsdf=dist, weight=jnp.ones_like(vol.weight))
@@ -37,10 +55,11 @@ def wall_tsdf(vol: TSDFVolume, depth: float) -> TSDFVolume:
 
     ref: create_wall_in_TSDF TestHelpers.cpp:63-99.
     """
-    centres = vol.voxel_centres()
-    dist = depth - centres[..., 2]
+    zc, _yc, _xc = _axis_centres(vol)
+    sz, sy, sx = vol.tsdf.shape
     trunc = vol.truncation_distance
-    dist = jnp.clip(dist, -trunc, trunc)
+    dist = jnp.clip(depth - zc, -trunc, trunc)
+    dist = jnp.broadcast_to(dist[:, None, None], (sz, sy, sx))
     return vol.replace(tsdf=dist, weight=jnp.ones_like(vol.weight))
 
 
