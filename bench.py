@@ -79,8 +79,12 @@ SECTION_KEYS = {
         ("scenefusion_sync_ms_255", "lower", 210.6),
     ],
     # first measured round 4 (the dual-band warped kernel at the
-    # headline grid; no earlier number exists — ratio starts at 1.0)
-    "scenefusion-512": [("integrate_warped_ms_512", "lower", None)],
+    # headline grid; no earlier number exists — ratio starts at 1.0);
+    # the nk=3 variant is the round-5 shipped default
+    "scenefusion-512": [
+        ("integrate_warped_ms_512", "lower", None),
+        ("integrate_warped_nk3_ms_512", "lower", None),
+    ],
     "pose-adjoint": [("integrate_pose_bwd_ms", "lower", 57.3)],
     "raycast-deep": [("raycast_deep_ms", "lower", 51.1)],
     "colour-integrate": [("integrate_color_ms", "lower", 24.6)],
@@ -649,6 +653,17 @@ def main():
             dt_warp = _bench(warped_fn, wvol, iters=5)
             _RESULT["aux"]["integrate_warped_ms_512"] = dt_warp * 1e3
             _note(f"warped integrate 512 done: {dt_warp*1e3:.1f} ms")
+
+            # the round-5 shipped default (SceneFusionConfig.integrate_nk
+            # = 3, no mask output): the nk=5+mask number above stays for
+            # baseline continuity
+            def warped_fn3(v):
+                out, miss = integrate_warped_pallas(v, depth, camera, nk=3)
+                return out.weight
+
+            dt_warp3 = _bench(warped_fn3, wvol, iters=5)
+            _RESULT["aux"]["integrate_warped_nk3_ms_512"] = dt_warp3 * 1e3
+            _note(f"warped integrate 512 nk=3 done: {dt_warp3*1e3:.1f} ms")
             # free ~2.6 GB (tsdf+weight+deform at 512^3): later
             # sections each allocate their own 512^3 volumes and the
             # chip OOMs if every section's state stays alive

@@ -286,3 +286,35 @@ def test_lane_gather_cpu_fallback_nan_table():
         out = np.asarray(fn(tab, idx))
         np.testing.assert_array_equal(out, kernel)
         assert not np.isnan(out).any()
+
+
+def test_row_gather_op_matches_take():
+    """Scalar-prefetch DMA row gather == jnp.take(axis=0), including
+    ragged shapes (non-lane-multiple width, non-multiple-of-r row
+    count) and out-of-range clamping."""
+    import numpy as np
+
+    from tsdf_tpu.kernels.gather import row_gather_op
+
+    rng = np.random.default_rng(0)
+    for n, w, j in ((1000, 300, 555), (37, 128, 8), (64, 513, 129)):
+        tab = jnp.asarray(rng.normal(size=(n, w)), jnp.float32)
+        idx = jnp.asarray(
+            rng.integers(-3, n + 3, size=(j,)), jnp.int32
+        )  # incl. out-of-range -> clamped
+        out = row_gather_op(tab, idx, interpret=True)
+        ref = jnp.take(tab, jnp.clip(idx, 0, n - 1), axis=0)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_gather_flat_rejects_bool_true_hint():
+    """gather_flat has no checked-hint mode: is_sorted=True must raise
+    (only False or the explicit 'trusted' contract are valid)."""
+    import pytest
+
+    from tsdf_tpu.ops.scatter import gather_flat
+
+    tab = jnp.arange(10.0)
+    idx = jnp.arange(4, dtype=jnp.int32)
+    with pytest.raises(ValueError, match="trusted"):
+        gather_flat(tab, idx, is_sorted=True)

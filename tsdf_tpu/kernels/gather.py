@@ -283,16 +283,19 @@ def row_gather_op(
 ) -> jnp.ndarray:
     """out[j, :] = table[idx[j], :] — whole-ROW gather at DMA speed.
 
-    XLA:TPU lowers a row gather (``jnp.take(..., axis=0)``) to a serial
-    per-row loop: the SceneFusion halo-block gather (35937 rows x 3 KB)
-    measured ~15 GB/s (~30 ms), and the chunk front's 8 neighbor-block
-    gathers are the dominant share of the extraction (round-5 probe).
-    Here the row index rides scalar prefetch
+    The row index rides scalar prefetch
     (``pltpu.PrefetchScalarGridSpec``) and each grid program's input
     BlockSpec index_map selects its source row directly — Mosaic turns
-    each block fetch into a plain DMA, so the gather runs at HBM copy
-    speed. ``rows_per_program`` output rows share one program (one
-    in_spec per row) to amortize grid overhead.
+    each block fetch into a plain DMA. ``rows_per_program`` output rows
+    share one program (one in_spec per row) to amortize grid overhead.
+
+    Measured on the v5e (tools/probe_cm_prims.py, chained loops): at
+    the SceneFusion chunk-gather shapes XLA's own ``jnp.take(axis=0)``
+    turned out EQUAL in-loop (the alarming 15-30 ms single-dispatch
+    numbers were tunnel-sync round-trips), so no production path
+    switched to this kernel — it is kept, equality-tested, for genuine
+    wide-row gathers where XLA's lowering does fall behind (and as the
+    building block for scalar-prefetch block-indexing patterns).
 
     Args:
       table: (N, W) any dtype (cast to f32 on TPU path callers' side if

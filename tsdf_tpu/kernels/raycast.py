@@ -108,7 +108,10 @@ def _sweep(
     smin_r = jnp.concatenate([smin[::-1], jnp.full((pad,), _BIG)])
     bmin_r = smin_r.reshape(n_bricks, zl).min(axis=1)
     reverse = fwd_axis < 0.0
-    brick_live = jnp.where(reverse, bmin_r <= 0.0, bmin_f <= 0.0)
+    # ~(min > 0), NOT (min <= 0): a NaN voxel makes the brick min NaN,
+    # and NaN must classify LIVE (sample it) — the in-body test this
+    # hoists was conservative the same way (min > 0 is False for NaN)
+    brick_live = ~jnp.where(reverse, bmin_r > 0.0, bmin_f > 0.0)
 
     return _sweep_bricks(
         provider, Z, tsdf.shape[1], tsdf.shape[2],
@@ -397,16 +400,29 @@ def _sweep_bricks(
     if brick_live is None:
 
         def wbody(state):
+            # block fetched ONCE and closed over by both branches (XLA
+            # cannot CSE a provider call duplicated across lax.cond
+            # branches — and a sharded provider is a psum broadcast)
             b, carry = state
             p0 = brick_base(b)
             block = provider(p0, zl)
+            s_hi = jnp.minimum((b + 1) * zl, Z)
             empty = jnp.min(block.astype(jnp.float32)) > 0.0
-            carry = jax.lax.cond(
-                empty,
-                lambda c: skip_at(b, c),
-                lambda c: full_at(b, c),
-                carry,
-            )
+
+            def full(carry):
+                def inner(j, carry):
+                    s_base = b * zl + j * K
+                    return run_slabs(
+                        [s_base + t for t in range(K)], s_hi, block, p0,
+                        carry,
+                    )
+
+                return jax.lax.fori_loop(0, n_inner, inner, carry)
+
+            def skip(carry):
+                return run_slabs([s_hi - 1], s_hi, block, p0, carry)
+
+            carry = jax.lax.cond(empty, skip, full, carry)
             return b + 1, carry
 
     else:

@@ -387,13 +387,21 @@ def gather_flat(
         out-of-range entries only as a suffix (fill_mode="zero") —
         skips BOTH sorts (two lax.sort passes, the dominant cost for
         short streams). Entries after a violation gather from the wrong
-        patch; use only where ascending holds by construction.
+        patch; use only where ascending holds by construction. True is
+        REJECTED: scatter_add_flat's checked-hint semantics would need
+        a lax.cond'd sort branch here (a compile bomb at volume scale),
+        so the only non-sorting mode is the explicit "trusted".
 
     Returns:
       (C,) or (C, D) f32 gathered values, in the ORIGINAL stream order.
     """
     if fill_mode not in ("clip", "zero"):
         raise ValueError(f"fill_mode must be clip|zero, got {fill_mode!r}")
+    if is_sorted not in (False, "trusted"):
+        raise ValueError(
+            "gather_flat is_sorted must be False or 'trusted' (True has "
+            "no checked-hint mode here — see docstring)"
+        )
     squeeze = table.ndim == 1
     tab = table[:, None] if squeeze else table
     n, D = tab.shape

@@ -496,8 +496,10 @@ def raycast_sharded_bricked(
                 # traffic that never happens. brick_live is replicated,
                 # so every device takes the same jump sequence and the
                 # collectives stay congruent.
-                phys_live = (
-                    jax.lax.all_gather(jnp.min(swept), "b") <= 0.0
+                # ~(min > 0): NaN bricks classify LIVE (get sampled),
+                # matching the in-body min test's conservatism
+                phys_live = ~(
+                    jax.lax.all_gather(jnp.min(swept), "b") > 0.0
                 )  # (nb,) in physical-brick order
                 rev = fwd[perm[2]] < 0.0
                 live_sweep = jnp.where(rev, phys_live[::-1], phys_live)
