@@ -120,7 +120,10 @@ for b in range(BRICKS):
     soup = jit_extract(tsdf_loc, loff, ncz, jnp.int32(z0) * (Y * X))
     n = int(soup.n_vertices)
     assert not bool(soup.overflowed), f"brick {b} overflowed"
-    parts.append(np.asarray(soup.vertices)[:n])
+    # slice ON DEVICE before D2H: pulling the full 2M-slot static cap
+    # through the remote tunnel cost ~12 s/brick (the bulk of the
+    # round-5 first measurement's 143 s)
+    parts.append(np.asarray(soup.vertices[:n]))
     n_total += n
 dt_mc = time.time() - t0
 verts = np.concatenate(parts, axis=0)

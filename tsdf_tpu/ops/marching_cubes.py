@@ -901,14 +901,32 @@ def soup_to_numpy(soup: TriangleSoup):
 
     Accepts both layouts: masked soups are compacted here with numpy
     (slot order == emission order, so triangles stay contiguous).
+
+    D2H discipline: the soup buffers are STATIC caps (max_vertices can
+    be 1M+ slots); device->host transfer through the remote tunnel is
+    slow, so the dense layout slices to the live count ON DEVICE before
+    transferring (a concrete-int slice), and the masked layout pulls
+    only up to the last live slot.
     """
     n = int(soup.n_vertices)
-    valid = np.asarray(soup.valid)
-    verts_all = np.asarray(soup.vertices)
-    if n <= len(verts_all) and valid[:n].all():  # dense layout
-        verts = verts_all[:n]
+    cap = soup.vertices.shape[0]
+    valid_head = np.asarray(soup.valid[: min(n, cap)])
+    if n <= cap and valid_head.all():  # dense layout
+        verts = np.asarray(soup.vertices[:n])
     else:
-        verts = verts_all[valid][:n]
+        # masked layout: live slots end at the last valid index
+        valid_dev = soup.valid
+        last = int(
+            jnp.max(
+                jnp.where(
+                    valid_dev,
+                    jnp.arange(cap, dtype=jnp.int32) + 1,
+                    0,
+                )
+            )
+        )
+        valid = np.asarray(valid_dev[:last])
+        verts = np.asarray(soup.vertices[:last])[valid][:n]
     # An overflowed masked soup counts n_vertices over the FULL cube
     # grid while only max_cubes slots were captured: clamp so the
     # triangle list never references vertices that were not emitted
