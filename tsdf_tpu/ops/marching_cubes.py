@@ -599,7 +599,7 @@ def _extract_arrays(
     tpu_safe: bool = False,
     return_cube_slots: bool = False,
     use_chunked: bool = True,
-    chunk_major: bool = False,
+    chunk_major: bool = True,
     return_edge_verts: bool = False,
 ) -> TriangleSoup:
     """Core extraction over raw arrays.
@@ -628,9 +628,10 @@ def _extract_arrays(
         limit is max_cubes itself).
       chunk_major: use the round-5 chunk-major compaction
         (_chunked_compact_cm — compaction cost bound by max_cubes, not
-        the million-slot chunk space; same ascending-cid contract).
-        The fused SceneFusion step's path; requires tpu_safe +
-        use_chunked.
+        the million-slot chunk space; same ascending-cid contract, so
+        outputs are identical). Default True for every tpu_safe chunked
+        extraction; False selects the round-4 walk compaction (kept as
+        the equality reference).
     """
     assert layout in ("dense", "masked"), layout
     Z, Y, X = d.shape

@@ -1052,7 +1052,7 @@ def _update_deformation_sharded_jit(
     from ..ops.marching_cubes import _MAX_V, _extract_arrays
     from ..pipelines.scenefusion import (
         _cube_corner_scatter,
-        _slot_correspondence,
+        _edge_correspondence,
     )
     from .halo import halo_exchange_z
 
@@ -1073,7 +1073,7 @@ def _update_deformation_sharded_jit(
         ) * (z0.astype(jnp.float32) * vs[2])
         # last brick owns one fewer cube row (no z+1 neighbour)
         n_cube_z = jnp.where(bi == nb - 1, zl - 1, zl)
-        soup, (cid, edge_idx, cube_valid) = _extract_arrays(
+        soup, (cid, edge_idx, cube_valid, edge_verts) = _extract_arrays(
             tsdf_loc,
             vs,
             local_offset,
@@ -1084,12 +1084,17 @@ def _update_deformation_sharded_jit(
             tpu_safe=tpu_safe,
             return_cube_slots=True,
             use_chunked=use_chunked,
+            return_edge_verts=True,
         )
         overflow = jax.lax.psum(
             soup.overflowed.astype(jnp.int32), "b"
         ) > 0
-        corr, flow_at_vert = _slot_correspondence(
-            soup.vertices, soup.valid, depth, cam, flow, threshold_mm
+        # per-EDGE correspondence (round 5, same as the single-device
+        # fused step): gather depth/flow once per cube edge and
+        # distribute to the 24 slots — identical math, half the gathers
+        corr, flow_at_vert = _edge_correspondence(
+            soup, edge_idx, edge_verts, depth, cam, flow, threshold_mm,
+            tpu_safe,
         )
         n_corr = jax.lax.psum(jnp.sum(corr.astype(jnp.int32)), "b")
 

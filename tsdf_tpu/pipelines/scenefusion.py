@@ -334,6 +334,52 @@ def _cube_corner_scatter(
     )  # (D, n_vox)
 
 
+def _edge_correspondence(
+    soup: TriangleSoup,
+    edge_idx: jnp.ndarray,
+    edge_verts: jnp.ndarray,
+    depth: jnp.ndarray,
+    camera: Camera,
+    flow: jnp.ndarray,
+    threshold_mm: float,
+    tpu_safe: bool,
+):
+    """Per-EDGE correspondence (round 5): the 24 soup slots repeat the
+    ≤12 distinct edge vertices, so the depth/flow image gather runs once
+    per edge and a width-12 lane gather distributes values back to
+    slots — identical math to the per-slot `_slot_correspondence` at
+    half the gather stream. Shared by the fused single-device step and
+    the brick-parallel sharded frame. Returns (corr (N,), flow (N, 3))
+    in slot layout."""
+    from ..ops.marching_cubes import _MAX_V, _slot_gather
+
+    C = edge_idx.shape[0]
+    slot_valid = soup.valid.reshape(C, _MAX_V)
+    ei = edge_idx  # (C, _MAX_V) in [0, 12)
+    edge_used = jnp.stack(
+        [jnp.any(slot_valid & (ei == e), axis=1) for e in range(12)],
+        axis=1,
+    )  # (C, 12)
+    corr_e, flow_e = _slot_correspondence(
+        edge_verts.reshape(C * 12, 3),
+        edge_used.reshape(-1),
+        depth, camera, flow, threshold_mm,
+    )
+    fe = flow_e.reshape(C, 12, 3)
+    flow_slot = jnp.stack(
+        [_slot_gather(fe[:, :, d], ei, tpu_safe) for d in range(3)],
+        axis=-1,
+    )  # (C, _MAX_V, 3)
+    corr_slot = (
+        _slot_gather(
+            corr_e.astype(jnp.float32).reshape(C, 12), ei, tpu_safe
+        )
+        > 0.5
+    )
+    corr = (corr_slot & slot_valid).reshape(-1)
+    return corr, jnp.where(corr[:, None], flow_slot.reshape(-1, 3), 0.0)
+
+
 def _slot_corner_fold(contrib: jnp.ndarray, edge_idx: jnp.ndarray):
     """Fold per-slot contributions onto the 8 cube corners.
 
@@ -399,37 +445,9 @@ def update_deformation_cubes(
     depth = jnp.asarray(depth, jnp.float32)
     C = cid.shape[0]
     if edge_verts is not None:
-        slot_valid = soup.valid.reshape(C, _MAX_V)
-        ei = edge_idx  # (C, _MAX_V) in [0, 12)
-        edge_used = jnp.stack(
-            [
-                jnp.any(slot_valid & (ei == e), axis=1)
-                for e in range(12)
-            ],
-            axis=1,
-        )  # (C, 12)
-        corr_e, flow_e = _slot_correspondence(
-            edge_verts.reshape(C * 12, 3),
-            edge_used.reshape(-1),
-            depth, camera, flow, threshold_mm,
-        )
-        tpu_safe = True  # this is the TPU fast path by contract
-        from ..ops.marching_cubes import _slot_gather
-
-        fe = flow_e.reshape(C, 12, 3)
-        flow_slot = jnp.stack(
-            [_slot_gather(fe[:, :, d], ei, tpu_safe) for d in range(3)],
-            axis=-1,
-        )  # (C, _MAX_V, 3)
-        corr_slot = (
-            _slot_gather(
-                corr_e.astype(jnp.float32).reshape(C, 12), ei, tpu_safe
-            )
-            > 0.5
-        )
-        corr = (corr_slot & slot_valid).reshape(-1)
-        flow_at_vert = jnp.where(
-            corr[:, None], flow_slot.reshape(-1, 3), 0.0
+        corr, flow_at_vert = _edge_correspondence(
+            soup, edge_idx, edge_verts, depth, camera, flow,
+            threshold_mm, True,
         )
     else:
         corr, flow_at_vert = _slot_correspondence(
