@@ -913,6 +913,12 @@ def extract_surface_sharded(
         mesh=mesh,
         in_specs=(P("b"), P(), P(), P()),
         out_specs=(P("b"), P("b"), P("b"), P("b")),
+        # as every other shard_map here: the matmul scatter/gather
+        # walks carry replicated-initialized while_loop state that
+        # becomes device-varying after one iteration, which strict VMA
+        # typing rejects (first hit by the chunk-major compaction's
+        # gather_flat on the 1-device TPU dryrun)
+        check_vma=False,
     )
     return fn(ext, vol.physical_size, vol.offset, vol.voxel_size)
 
