@@ -328,3 +328,43 @@ def test_write_ply_with_colors(tmp_path):
 
     with pytest.raises(ValueError, match="colours"):
         write_ply(tmp_path / "bad.ply", verts, tris, colors=cols[:2])
+
+
+def test_chunk_major_overflow_and_ncubez():
+    """_chunked_compact_cm edge cases: (a) max_cubes < n_occ flags
+    overflow and still yields a valid ascending prefix; (b) n_cube_z
+    masking (the sharded brick contract) matches the round-4
+    compaction exactly."""
+    from tsdf_tpu.ops.marching_cubes import (
+        _chunked_compact,
+        _chunked_compact_cm,
+    )
+    from tsdf_tpu.utils import fixtures
+    from tsdf_tpu.volume import make_volume
+
+    vol = make_volume((48, 48, 48), 960.0, offset=(-480.0, -480.0, 0.0))
+    vol = fixtures.sphere_tsdf(vol, 240.0, centre=(0.0, 0.0, 480.0))
+
+    # (a) overflow: cap below the live count
+    cid, types, ws, valid, ovf, n_occ = _chunked_compact_cm(
+        vol.tsdf, None, 256
+    )
+    assert bool(ovf) and int(n_occ) > 256
+    c = np.asarray(cid)[np.asarray(valid)]
+    assert len(c) == 256 and np.all(np.diff(c) > 0)
+
+    # (b) n_cube_z masking == old compaction
+    for ncz in (7, 20):
+        old = _chunked_compact(vol.tsdf, jnp.int32(ncz), 1 << 13)
+        new = _chunked_compact_cm(vol.tsdf, jnp.int32(ncz), 1 << 13)
+        assert int(old[5]) == int(new[5])
+        n = int(old[5])
+        np.testing.assert_array_equal(
+            np.asarray(old[0])[:n], np.asarray(new[0])[:n]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(old[1])[:n], np.asarray(new[1])[:n]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(old[2])[:n], np.asarray(new[2])[:n]
+        )
