@@ -108,8 +108,14 @@ print(
 )
 
 kvol = make_volume((GRID,) * 3, 3000.0, offset=(-1500.0, -1500.0, 0.0))
+# --eps: ICP convergence early-exit (FusionConfig.icp_conv_eps) — the
+# bench's fastest tracked mode; run here to pin its QUALITY on the full
+# 500-frame workload (the 10/5/4 tail iterations are identity updates
+# on converged frames, so ATE should match the fixed schedule)
+EPS = 0.02 if "--eps" in sys.argv else 0.0
 cfg = FusionConfig(
-    width=W, height=H, use_pallas=True, use_bilateral_filter=True
+    width=W, height=H, use_pallas=True, use_bilateral_filter=True,
+    icp_conv_eps=EPS,
 )
 
 # warm the compiles outside the timed run
